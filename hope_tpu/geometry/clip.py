@@ -1,0 +1,74 @@
+"""Fixed-shape convex polygon clipping (Sutherland–Hodgman) for intersection areas.
+
+The reference computes vehicle-box ∩ dest-box areas with GEOS
+(``env/car_parking_base.py:164-170`` arrival check, ``:217-226`` box-union reward).
+Here the 4-gon × 4-gon clip runs as a branch-free masked-scatter pipeline over a
+fixed 8-vertex buffer, so it vmaps over thousands of scenarios and fuses on the VPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import polygon_area
+
+_MAXV = 8  # convex quad clipped by 4 half-planes grows by <=1 vertex per plane
+
+
+def _clip_halfplane(verts, n, a, b):
+    """Clip convex polygon (verts[:n]) by the half-plane left of directed edge a->b.
+
+    Returns new (verts, n). Fixed shapes: verts (_MAXV, 2), candidate buffer 2*_MAXV.
+    """
+    ex, ey = b[0] - a[0], b[1] - a[1]
+
+    idx = jnp.arange(_MAXV)
+    nxt_idx = jnp.where(idx + 1 >= n, 0, idx + 1)
+    cur = verts
+    nxt = verts[nxt_idx]
+
+    # signed distance to the clip line (positive = inside/left)
+    d_cur = ex * (cur[:, 1] - a[1]) - ey * (cur[:, 0] - a[0])
+    d_nxt = ex * (nxt[:, 1] - a[1]) - ey * (nxt[:, 0] - a[0])
+    in_cur = d_cur >= 0.0
+    in_nxt = d_nxt >= 0.0
+
+    denom = d_cur - d_nxt
+    t = d_cur / jnp.where(denom == 0.0, 1.0, denom)
+    ip = cur + t[:, None] * (nxt - cur)
+
+    active = idx < n
+    emit_cur = in_cur & active
+    emit_ip = (in_cur != in_nxt) & active
+
+    # interleave [cur_0, ip_0, cur_1, ip_1, ...] then compact by prefix sum
+    pts = jnp.stack([cur, ip], axis=1).reshape(2 * _MAXV, 2)
+    flags = jnp.stack([emit_cur, emit_ip], axis=1).reshape(2 * _MAXV)
+    pos = jnp.cumsum(flags) - 1
+    pos = jnp.where(flags, pos, 2 * _MAXV)  # dropped (out-of-bounds scatter)
+
+    out = jnp.zeros((_MAXV, 2), verts.dtype)
+    out = out.at[pos].set(pts, mode="drop")
+    return out, jnp.sum(flags)
+
+
+def convex_clip_area(subject, clip):
+    """Area of the intersection of two convex quadrilaterals.
+
+    Args:
+      subject: (4, 2) CCW vertices.
+      clip: (4, 2) CCW vertices.
+
+    Returns:
+      scalar area (0 when disjoint).
+    """
+    verts = jnp.zeros((_MAXV, 2), subject.dtype).at[:4].set(subject)
+    n = jnp.asarray(4)
+    for i in range(4):
+        verts, n = _clip_halfplane(verts, n, clip[i], clip[(i + 1) % 4])
+    mask = jnp.arange(_MAXV) < n
+    return jnp.where(n >= 3, polygon_area(verts, mask), 0.0)
+
+
+# batched variant: (B, 4, 2) x (B, 4, 2) -> (B,)
+convex_clip_area_batch = jax.vmap(convex_clip_area)
