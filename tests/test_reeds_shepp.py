@@ -1,0 +1,139 @@
+"""Reeds-Shepp invariant tests (the latent check_path contract of the reference,
+env/reeds_shepp.py:644-663) plus selection/queue semantics."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hope_tpu.config import VehicleConfig
+from hope_tpu.planning import build_action_queue, find_path, reeds_shepp as rs
+
+CFG = VehicleConfig()
+MAXC = CFG.max_curvature
+
+
+def _endpoint(lengths, steers, start, maxc):
+    poses, mask, _ = rs.sample_path(
+        jnp.asarray(lengths), jnp.asarray(steers), jnp.asarray(start), maxc, 288, 0.1
+    )
+    n = int(np.sum(np.asarray(mask)))
+    return np.asarray(poses)[n - 1]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_endpoint_closure(rng, seed):
+    """Every valid word, discretized, must land on the goal (within 0.02)."""
+    r = np.random.default_rng(seed)
+    start = np.array([r.uniform(-5, 5), r.uniform(-5, 5), r.uniform(-3, 3)])
+    goal = np.array([r.uniform(-5, 5), r.uniform(-5, 5), r.uniform(-3, 3)])
+    cand = rs.candidates(jnp.asarray(start), jnp.asarray(goal), MAXC)
+    valid = np.asarray(cand.valid)
+    assert valid.sum() >= 1
+    lengths = np.asarray(cand.lengths)
+    steers = np.asarray(cand.steers)
+    checked = 0
+    for i in np.nonzero(valid)[0]:
+        end = _endpoint(lengths[i], steers[i], start, MAXC)
+        np.testing.assert_allclose(end[0], goal[0], atol=0.02, err_msg=f"word {i} x")
+        np.testing.assert_allclose(end[1], goal[1], atol=0.02, err_msg=f"word {i} y")
+        dth = (end[2] - goal[2] + math.pi) % (2 * math.pi) - math.pi
+        assert abs(dth) < 0.02, f"word {i} yaw diff {dth}"
+        checked += 1
+    assert checked >= 4  # typical scenarios admit many words
+
+
+def test_optimal_length_lower_bound():
+    """Shortest RS length >= straight-line distance, and equals it for a
+    straight-ahead goal."""
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([5.0, 0.0, 0.0])
+    L = float(rs.optimal_length(start, goal, MAXC))
+    np.testing.assert_allclose(L, 5.0, atol=1e-4)
+
+    goal2 = jnp.asarray([3.0, 4.0, 1.0])
+    L2 = float(rs.optimal_length(start, goal2, MAXC))
+    assert L2 >= 5.0 - 1e-5
+
+
+def test_backward_goal_uses_reverse():
+    """Goal directly behind with same heading: shortest path = straight reverse."""
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([-4.0, 0.0, 0.0])
+    cand = rs.candidates(start, goal, MAXC)
+    i = int(jnp.argmin(cand.L))
+    L = float(cand.L[i]) / MAXC
+    np.testing.assert_allclose(L, 4.0, atol=1e-4)
+    lengths = np.asarray(cand.lengths[i]) / MAXC
+    live = np.abs(lengths) > 1e-6
+    assert (lengths[live] < 0).all()  # reversing segments
+
+
+def test_sample_path_uniform_spacing():
+    start = np.array([1.0, 2.0, 0.3])
+    goal = np.array([6.0, 5.0, -0.5])
+    cand = rs.candidates(jnp.asarray(start), jnp.asarray(goal), MAXC)
+    i = int(jnp.argmin(cand.L))
+    poses, mask, dirs = rs.sample_path(cand.lengths[i], cand.steers[i],
+                                       jnp.asarray(start), MAXC, 288, 0.1)
+    poses = np.asarray(poses)
+    n = int(np.asarray(mask).sum())
+    seg = np.linalg.norm(np.diff(poses[: n - 1, :2], axis=0), axis=1)
+    # uniform 0.1 m spacing except across direction changes / final point
+    assert (seg < 0.11).all()
+    np.testing.assert_allclose(poses[0], start, atol=1e-5)
+
+
+def test_find_path_open_space_and_blocked():
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([6.0, 2.0, 0.0])
+    bounds = jnp.asarray([-20.0, 20.0, -20.0, 20.0])
+    free_edges = jnp.zeros((8, 4))
+    free_mask = jnp.zeros(8, bool)
+    p = find_path(start, goal, MAXC, corners, free_edges, free_mask, bounds)
+    assert bool(p.found)
+    np.testing.assert_allclose(
+        float(p.L), float(rs.optimal_length(start, goal, MAXC)), rtol=1e-5
+    )
+
+    # a wall between start and goal kills the direct candidates; path must
+    # either not be found or route with all sampled poses collision-free
+    wall = jnp.asarray([[3.0, -30.0, 3.0, 30.0]])
+    p2 = find_path(start, goal, MAXC, corners,
+                   jnp.pad(wall, ((0, 7), (0, 0))),
+                   jnp.asarray([True] + [False] * 7), bounds)
+    assert not bool(p2.found)  # impenetrable infinite wall
+
+
+def test_find_path_vmapped():
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    B = 4
+    starts = jnp.zeros((B, 3))
+    goals = jnp.stack([jnp.full(B, 5.0), jnp.linspace(-2, 2, B), jnp.zeros(B)], axis=-1)
+    bounds = jnp.tile(jnp.asarray([-20.0, 20.0, -20.0, 20.0]), (B, 1))
+    edges = jnp.zeros((B, 8, 4))
+    emask = jnp.zeros((B, 8), bool)
+    f = jax.vmap(lambda s, g, e, m, b: find_path(s, g, MAXC, corners, e, m, b))
+    out = f(starts, goals, edges, emask, bounds)
+    assert bool(jnp.all(out.found))
+    assert out.lengths.shape == (B, 5)
+
+
+def test_action_queue_semantics():
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([5.0, 0.0, 0.0])
+    bounds = jnp.asarray([-20.0, 20.0, -20.0, 20.0])
+    p = find_path(start, goal, MAXC, corners, jnp.zeros((4, 4)), jnp.zeros(4, bool), bounds)
+    step_ratio = CFG.dt * CFG.n_substep * CFG.max_speed  # 1.25 m
+    actions, n = build_action_queue(p, step_ratio)
+    n = int(n)
+    acts = np.asarray(actions)[:n]
+    # straight 5 m => 4 full-speed forward chunks, zero steer
+    assert n == 4
+    np.testing.assert_allclose(acts[:, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(acts[:, 1], 1.0, atol=1e-5)
+    # distance covered equals path length
+    np.testing.assert_allclose(np.abs(acts[:, 1]).sum() * step_ratio, float(p.L), rtol=1e-5)
