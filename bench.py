@@ -1,0 +1,135 @@
+"""Headline benchmark: batched parking-env rollout throughput per chip.
+
+Config mirrors BASELINE.json "Batched 1k perpendicular+parallel scenarios:
+vmapped step, collision check, action mask (no training)": 1024 procedurally
+generated bay+parallel scenes step in lockstep with lidar + action-mask + target
+observation and random masked actions.
+
+Baseline: the torch/shapely reference cannot run in this image (shapely, gym,
+pygame absent), so the anchor is a vectorized-numpy replica of the reference's
+own per-step kernels (Euler kinematics x200, lidar line solve, mask compare —
+the same algorithms its env runs serially per step, see BASELINE.md).  That
+per-env step rate is measured here on this host, and vs_baseline =
+(batched TPU env-steps/s) / (numpy per-env steps/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def numpy_reference_step_rate(n_steps: int = 30) -> float:
+    """Single-env step cost of the reference's hot kernels, vectorized numpy
+    (kinematics 10x20 Euler + 120-beam lidar vs 72 edges + 1200x42x10 mask)."""
+    rng = np.random.default_rng(0)
+    edges = rng.standard_normal((72, 4)) * 8
+    dist_star = rng.random((1200, 42, 10)) * 10
+    x, y, th = 0.0, 0.0, 0.3
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        # kinematics: 10 substeps x 20 Euler iters (vehicle.py:88-93)
+        for _ in range(10):
+            for _ in range(20):
+                x += 1.5 * np.cos(th) * 0.0025
+                y += 1.5 * np.sin(th) * 0.0025
+                th += 1.5 * np.tan(0.3) / 2.8 * 0.0025
+            # collision: 4 car edges vs E obstacle edges (car_parking_base.py:476-530)
+            a = rng.standard_normal((4, 1))
+            b = rng.standard_normal((4, 1))
+            c = rng.standard_normal((4, 1))
+            d = (edges[:, 3] - edges[:, 1]).reshape(1, -1)
+            e = (edges[:, 0] - edges[:, 2]).reshape(1, -1)
+            f = (edges[:, 1] * edges[:, 2] - edges[:, 0] * edges[:, 3]).reshape(1, -1)
+            det = a * e - b * d
+            det[det == 0] = 1
+            raw_x = (b * f - c * e) / det
+            raw_y = (c * d - a * f) / det
+            np.sum((raw_x > 0) & (raw_y > 0))
+        # lidar (lidar_simulator.py:85-134)
+        theta = np.arange(120) / 120 * 2 * np.pi
+        a = np.sin(theta).reshape(-1, 1)
+        b = -np.cos(theta).reshape(-1, 1)
+        d = (edges[:, 3] - edges[:, 1]).reshape(1, -1)
+        e = (edges[:, 0] - edges[:, 2]).reshape(1, -1)
+        f = (edges[:, 1] * edges[:, 2] - edges[:, 0] * edges[:, 3]).reshape(1, -1)
+        det = a * e - b * d
+        det[det == 0] = 1
+        raw_x = (b * f) / det
+        raw_y = (d * 0 - a * f) / det
+        lidar = np.clip(np.min(np.sqrt(raw_x**2 + raw_y**2), axis=1), 0, 10)
+        # action mask runtime (action_mask.py:166-196)
+        up = np.repeat(lidar, 10).reshape(-1, 1, 1)
+        step_save = (dist_star <= up)
+        ms = np.argmin(step_save, axis=-1)
+        ms[step_save.sum(-1) == 10] = 10
+        np.min(ms, axis=0)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    from hope_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from hope_tpu.config import EnvConfig, ObsConfig
+    from hope_tpu.envs import ParkingEnv, build_table, choose_action
+    from hope_tpu.envs.scenario_gen import generate_bank
+
+    B = 1024
+    obs_cfg = ObsConfig(use_img=False)
+    env_cfg = EnvConfig(obs=obs_cfg, max_edges=96, max_obstacles=32)
+    env = ParkingEnv(env_cfg)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    bay, _ = generate_bank(k1, level="Normal", n=B // 2, bay_ratio=1.0)
+    par, _ = generate_bank(k2, level="Normal", n=B // 2, bay_ratio=0.0)
+    scenes = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), bay, par)
+
+    state, obs = env.batch_reset(scenes)
+
+    @jax.jit
+    def rollout(state, obs, key):
+        def step(carry, k):
+            state, obs = carry
+            # random masked action per env (exploration-style stepping)
+            def pick(m, s, mk, kk):
+                a, _ = choose_action(kk, m, s, mk, env.mask_table)
+                return a
+
+            keys = jax.random.split(k, B)
+            acts = jax.vmap(pick)(jnp.zeros((B, 2)), jnp.ones((B, 2)),
+                                  obs["action_mask"], keys)
+            state, obs, r, done, info = env.batch_step(
+                state, env.rescale_action(acts), search_rs=False)
+            return (state, obs), r
+
+        (state, obs), rs = jax.lax.scan(step, (state, obs), jax.random.split(key, 20))
+        return state, obs, rs
+
+    out = rollout(state, obs, k3)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = rollout(*out[:2], jax.random.fold_in(k3, 1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    steps_per_sec = B * 20 / dt
+
+    ref_rate = numpy_reference_step_rate()
+    print(json.dumps({
+        "metric": "batched_env_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "env-steps/s (1024 scenes, lidar+mask obs, masked random actions)",
+        "vs_baseline": round(steps_per_sec / ref_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

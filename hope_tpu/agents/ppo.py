@@ -1,0 +1,221 @@
+"""PPO with clipped surrogate, GAE, and a Polyak critic target
+(reference model/agent/ppo_agent.py).
+
+The full-buffer GAE reverse loop (:258-272) becomes a ``lax.scan``; the
+10-epoch x 32-minibatch inner loop (:278-341) is a scan over shuffled index
+blocks inside one jitted update.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import NetConfig, PPOConfig
+from ..envs.action_mask import ActionMaskTable
+from ..envs.action_mask import choose_action as mask_choose
+from ..models import MultiObsEmbedding
+from .state_norm import NormState, normalize, update as norm_update
+
+
+@flax.struct.dataclass
+class PPOState:
+    actor: dict
+    log_std: jnp.ndarray
+    critic: dict
+    critic_target: dict
+    opt_actor: optax.OptState
+    opt_critic: optax.OptState
+    norm: NormState
+    steps: jnp.ndarray
+
+
+class PPOAgent:
+    def __init__(self, actor_cfg: NetConfig, critic_cfg: NetConfig,
+                 cfg: PPOConfig, obs_shape: dict,
+                 mask_table: ActionMaskTable | None = None):
+        assert critic_cfg.action_input_dim == 0, "PPO critic is V(s)"
+        self.cfg = cfg
+        self.obs_shape = obs_shape
+        self.mask_table = mask_table
+        self.actor_net = MultiObsEmbedding(actor_cfg)
+        self.critic_net = MultiObsEmbedding(critic_cfg)
+        self.tx_actor = optax.adam(cfg.lr_actor)
+        self.tx_critic = optax.adam(cfg.lr_critic, eps=1e-8)
+
+    def _dummy_obs(self, batch=1):
+        return {k: jnp.zeros((batch,) + tuple(s)) for k, s in self.obs_shape.items()}
+
+    def init(self, key) -> PPOState:
+        k1, k2 = jax.random.split(key)
+        obs = self._dummy_obs()
+        actor = self.actor_net.init(k1, obs)
+        critic = self.critic_net.init(k2, obs)
+        return PPOState(
+            actor=actor,
+            log_std=jnp.zeros((1, self.cfg.action_dim)),
+            critic=critic,
+            critic_target=jax.tree.map(jnp.copy, critic),
+            opt_actor=self.tx_actor.init((actor, jnp.zeros((1, self.cfg.action_dim)))),
+            opt_critic=self.tx_critic.init(critic),
+            norm=NormState.create(self.obs_shape),
+            steps=jnp.zeros((), jnp.int32),
+        )
+
+    # ---------------------------------------------------------------- acting
+
+    def _dist(self, st: PPOState, obs: dict):
+        obs = normalize(obs, st.norm) if self.cfg.state_norm else obs
+        mean = jnp.clip(self.actor_net.apply(st.actor, obs), -1.0, 1.0)
+        return mean, jnp.broadcast_to(jnp.exp(st.log_std), mean.shape)
+
+    @staticmethod
+    def _log_prob(mean, std, a):
+        return -((a - mean) ** 2) / (2 * std**2) - jnp.log(std) - 0.5 * math.log(2 * math.pi)
+
+    def choose_action(self, st: PPOState, obs: dict, key):
+        assert self.mask_table is not None
+        mean, std = self._dist(st, obs)
+        keys = jax.random.split(key, mean.shape[0])
+        action = jax.vmap(
+            lambda m, s, mk, k: mask_choose(k, m, s, mk, self.mask_table)[0]
+        )(mean, std, obs["action_mask"], keys)
+        return action, jnp.sum(self._log_prob(mean, std, action), -1)
+
+    def get_action(self, st: PPOState, obs: dict, key):
+        mean, std = self._dist(st, obs)
+        a = jnp.clip(mean + std * jax.random.normal(key, mean.shape), -1.0, 1.0)
+        return a, jnp.sum(self._log_prob(mean, std, a), -1)
+
+    def log_prob(self, st: PPOState, obs: dict, action):
+        mean, std = self._dist(st, obs)
+        return jnp.sum(self._log_prob(mean, std, action), -1)
+
+    def observe_norm(self, st: PPOState, next_obs: dict) -> PPOState:
+        if not self.cfg.state_norm:
+            return st
+        return st.replace(norm=norm_update(st.norm, next_obs))
+
+    # ---------------------------------------------------------------- update
+
+    @partial(jax.jit, static_argnums=0)
+    def update(self, st: PPOState, batch: dict, key):
+        """Full-buffer PPO update.
+
+        ``batch`` fields (already normalized at insert): obs/*, next_obs/*,
+        action, reward, done, log_prob.  Leading dims are either (T,) for a
+        single time-ordered stream (reference semantics) or (T, B) for B
+        lockstep env streams — GAE scans over T per stream, then everything is
+        flattened for the minibatch epochs.
+        """
+        cfg = self.cfg
+        obs = {k[4:]: v for k, v in batch.items() if k.startswith("obs/")}
+        next_obs = {k[9:]: v for k, v in batch.items() if k.startswith("next_obs/")}
+        action = batch["action"]
+        reward = batch["reward"]
+        done = batch["done"].astype(jnp.float32)
+        old_logp = batch["log_prob"]
+
+        time_major = reward.ndim == 2
+        if not time_major:
+            reward = reward[:, None]
+            done = done[:, None]
+            old_logp_tb = old_logp[:, None]
+        else:
+            old_logp_tb = old_logp
+        T, B = reward.shape
+
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:]) if time_major else x
+
+        obs_f = {k: flat(v) for k, v in obs.items()}
+        next_obs_f = {k: flat(v) for k, v in next_obs.items()}
+        value = self.critic_net.apply(st.critic, obs_f).reshape(T, B)
+        next_value = self.critic_net.apply(st.critic, next_obs_f).reshape(T, B)
+        deltas = reward + cfg.gamma * (1 - done) * next_value - value
+
+        if cfg.use_gae:
+            def gae_step(carry, x):
+                d, dn = x
+                g = d + cfg.gamma * cfg.gae_lambda * carry * (1.0 - dn)
+                return g, g
+
+            _, adv_rev = jax.lax.scan(
+                gae_step, jnp.zeros(B), (deltas[::-1], done[::-1])
+            )
+            adv = adv_rev[::-1]
+        else:
+            adv = deltas
+        v_target = adv + self.critic_net.apply(st.critic_target, obs_f).reshape(T, B)
+        v_target = jax.lax.stop_gradient(v_target)
+        if cfg.adv_norm:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+        adv = jax.lax.stop_gradient(adv)
+
+        # flatten time x stream for the shuffled minibatch epochs
+        N = T * B
+        adv = adv.reshape(N, 1)
+        v_target = v_target.reshape(N, 1)
+        obs = obs_f
+        action = flat(action)
+        old_logp = old_logp_tb.reshape(N, 1)
+
+        mb = cfg.mini_batch
+        n_mb = N // mb
+
+        def minibatch_step(carry, idx):
+            actor, log_std, critic, opt_a, opt_c = carry
+            o = {k: v[idx] for k, v in obs.items()}
+
+            def a_loss(p):
+                params, ls = p
+                mean = jnp.clip(self.actor_net.apply(params, o), -1.0, 1.0)
+                std = jnp.broadcast_to(jnp.exp(ls), mean.shape)
+                logp = jnp.sum(self._log_prob(mean, std, action[idx]), -1, keepdims=True)
+                ratio = jnp.exp(logp - old_logp[idx])
+                s1 = ratio * adv[idx]
+                s2 = jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * adv[idx]
+                loss = -jnp.minimum(s1, s2)
+                if cfg.policy_entropy:
+                    ent = jnp.sum(0.5 * jnp.log(2 * math.pi * math.e * std**2), -1, keepdims=True)
+                    loss = loss - cfg.entropy_coef * ent
+                return jnp.mean(loss)
+
+            def c_loss(params):
+                v = self.critic_net.apply(params, o)
+                return jnp.mean((v_target[idx] - v) ** 2)
+
+            la, ga = jax.value_and_grad(a_loss)((actor, log_std))
+            lc, gc = jax.value_and_grad(c_loss)(critic)
+            if cfg.gradient_clip:
+                ga = jax.tree.map(lambda g: jnp.clip(g, -0.5, 0.5), ga)
+                gc = jax.tree.map(lambda g: jnp.clip(g, -0.5, 0.5), gc)
+            ua, opt_a = self.tx_actor.update(ga, opt_a, (actor, log_std))
+            actor, log_std = optax.apply_updates((actor, log_std), ua)
+            uc, opt_c = self.tx_critic.update(gc, opt_c, critic)
+            critic = optax.apply_updates(critic, uc)
+            return (actor, log_std, critic, opt_a, opt_c), (la, lc)
+
+        carry = (st.actor, st.log_std, st.critic, st.opt_actor, st.opt_critic)
+        target = st.critic_target
+        losses = []
+        for e in range(cfg.mini_epoch):
+            perm = jax.random.permutation(jax.random.fold_in(key, e), N)
+            idxs = perm[: n_mb * mb].reshape(n_mb, mb)
+            carry, (la, lc) = jax.lax.scan(minibatch_step, carry, idxs)
+            # per-epoch Polyak target update (reference :340, tau from ConfigBase=0.1)
+            target = jax.tree.map(
+                lambda t, c: t * (1 - cfg.tau) + c * cfg.tau, target, carry[2]
+            )
+            losses.append((la[-1], lc[-1]))
+
+        actor, log_std, critic, opt_a, opt_c = carry
+        new_st = st.replace(actor=actor, log_std=log_std, critic=critic,
+                            critic_target=target, opt_actor=opt_a,
+                            opt_critic=opt_c, steps=st.steps + 1)
+        metrics = {"actor_loss": losses[-1][0], "critic_loss": losses[-1][1]}
+        return new_st, metrics

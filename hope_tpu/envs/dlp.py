@@ -1,0 +1,126 @@
+"""DLP (Dragon Lake Parking) dataset runtime loader.
+
+Replaces reference ``env/parking_map_dlp.py``: cases come from the
+geometry-agnostic ``data/dlp.npz`` export (tools/export_dlp.py) instead of a
+shapely pickle, and per-reset sampling (start-candidate choice + jitter, 50/50
+orientation flips, bounds filter) runs as a jitted, vmappable function so whole
+batches of DLP resets happen in one device call.
+"""
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig, VehicleConfig
+from ..geometry import pose_to_box
+from .scene import LEVEL_DLP, Scene
+
+_DEFAULT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "data", "dlp.npz"
+)
+
+
+class DLPDataset:
+    """Holds the full case bank as device arrays; 248 cases."""
+
+    def __init__(self, path: str = _DEFAULT_PATH, env_cfg: EnvConfig | None = None,
+                 vcfg: VehicleConfig = VehicleConfig()):
+        raw = np.load(path)
+        self.env_cfg = env_cfg or EnvConfig(max_edges=512, max_obstacles=128)
+        self.vcfg = vcfg
+        self.n_cases = len(raw["n_polys"])
+        self.edges = jnp.asarray(raw["edges"])          # (C, E_raw, 4)
+        self.edge_mask = jnp.asarray(raw["edge_mask"])  # (C, E_raw)
+        self.edge_poly = jnp.asarray(raw["edge_poly"])  # (C, E_raw)
+        self.n_polys = jnp.asarray(raw["n_polys"])
+        self.dest = jnp.asarray(raw["dest"])            # (C, 3)
+        self.starts = jnp.asarray(raw["starts"])        # (C, S, 3)
+        self.n_starts = jnp.asarray(raw["n_starts"])
+        self.corners = jnp.asarray(vcfg.box_corners(), jnp.float32)
+
+    def _flip_pose(self, pose):
+        """Mirror a pose through its own box centre and turn it around
+        (reference _flip_box_orientation)."""
+        box = pose_to_box(pose, self.corners)
+        c = jnp.mean(box, axis=0)
+        return jnp.stack([2 * c[0] - pose[0], 2 * c[1] - pose[1], pose[2] + math.pi])
+
+    def reset_case(self, key, case_id):
+        """Sample one Scene for a case id (vmap over (keys, ids) for batches).
+
+        Mirrors ParkingMapDLP.reset (:38-86): random start candidate + gaussian
+        jitter (sigma 0.05 m / 0.02 rad), +-20 m bounds, polygon-level bounds
+        filter, 50/50 dest and start orientation flips.
+        """
+        cfg = self.env_cfg
+        ks, kj, kfd, kfs = jax.random.split(key, 4)
+        case_id = case_id % self.n_cases
+
+        si = jax.random.randint(ks, (), 0, self.n_starts[case_id])
+        start = self.starts[case_id, si]
+        jit3 = jax.random.normal(kj, (3,)) * jnp.asarray([0.05, 0.05, 0.02])
+        start = start + jit3
+        dest = self.dest[case_id]
+
+        bounds = jnp.stack([
+            jnp.floor(jnp.minimum(start[0], dest[0]) - 20.0),
+            jnp.ceil(jnp.maximum(start[0], dest[0]) + 20.0),
+            jnp.floor(jnp.minimum(start[1], dest[1]) - 20.0),
+            jnp.ceil(jnp.maximum(start[1], dest[1]) + 20.0),
+        ])
+
+        flip_d = jax.random.uniform(kfd) > 0.5
+        flip_s = jax.random.uniform(kfs) > 0.5
+        dest = jnp.where(flip_d, self._flip_pose(dest), dest)
+        start = jnp.where(flip_s, self._flip_pose(start), start)
+
+        # polygon-level bounds filter (reference filter_obstacles :88-101):
+        # drop polygons entirely outside the bounds window
+        edges = self.edges[case_id]
+        live = self.edge_mask[case_id]
+        poly = self.edge_poly[case_id]
+        xs = jnp.stack([edges[:, 0], edges[:, 2]])
+        ys = jnp.stack([edges[:, 1], edges[:, 3]])
+        P_raw = 320
+        big = 1e9
+        px_min = jax.ops.segment_min(jnp.where(live, jnp.minimum(xs[0], xs[1]), big), poly, P_raw)
+        px_max = jax.ops.segment_max(jnp.where(live, jnp.maximum(xs[0], xs[1]), -big), poly, P_raw)
+        py_min = jax.ops.segment_min(jnp.where(live, jnp.minimum(ys[0], ys[1]), big), poly, P_raw)
+        py_max = jax.ops.segment_max(jnp.where(live, jnp.maximum(ys[0], ys[1]), -big), poly, P_raw)
+        poly_keep = ~((px_max <= bounds[0]) | (px_min >= bounds[1])
+                      | (py_max <= bounds[2]) | (py_min >= bounds[3]))
+        live = live & poly_keep[poly]
+
+        # compact live edges to the front and truncate to the runtime budget
+        order = jnp.argsort(~live, stable=True)
+        E = cfg.max_edges
+        edges_c = edges[order][:E]
+        live_c = live[order][:E]
+        poly_c = poly[order][:E]
+        # re-id polygons densely so they fit the rasterizer's max_obstacles
+        uniq_first = jnp.zeros(P_raw, jnp.int32).at[poly_c].add(1) > 0
+        new_id = jnp.cumsum(uniq_first) - 1
+        poly_c = jnp.clip(new_id[poly_c], 0, cfg.max_obstacles - 1)
+
+        dest_box = pose_to_box(dest, self.corners)
+        return Scene(
+            edges=edges_c.astype(jnp.float32),
+            edge_mask=live_c,
+            edge_poly=poly_c.astype(jnp.int32),
+            n_polys=jnp.sum(uniq_first).astype(jnp.int32),
+            start=start.astype(jnp.float32),
+            dest=dest.astype(jnp.float32),
+            dest_box=dest_box.astype(jnp.float32),
+            bounds=bounds.astype(jnp.float32),
+            level=jnp.asarray(LEVEL_DLP, jnp.int32),
+            case_id=case_id.astype(jnp.int32),
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def batch_reset(self, keys, case_ids):
+        return jax.vmap(self.reset_case)(keys, case_ids)

@@ -1,0 +1,236 @@
+"""Batched parking environment: one jitted pure step, vmapped over scenarios.
+
+TPU-native redesign of the reference simulator (``env/car_parking_base.py`` +
+``env/env_wrapper.py``): the per-substep arrival/collision/rollback loop
+(:235-276) becomes a ``lax.scan`` with freeze masks, rendering becomes the
+on-device BEV rasterizer, and the Reeds-Shepp endgame search (:293-297,
+413-450) is the masked argmin cascade from ``planning.rs_select`` — all of it
+one fused computation per control step for the whole scenario batch.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..config import EnvConfig
+from ..dynamics import VehicleState, substep_closed_form
+from ..geometry import (
+    box_to_edges,
+    convex_clip_area,
+    polygon_area,
+    pose_to_box,
+    segments_intersect,
+)
+from ..geometry.raster import render_bev
+from ..planning import RSPath, find_path
+from .action_mask import ActionMaskTable, build_table, get_steps
+from .lidar import beam_angles, lidar_observation, vehicle_boundary
+from .rewards import ARRIVED, COLLIDED, CONTINUE, OUTBOUND, OUTTIME, shaped_reward, step_reward_terms
+from .scene import Scene
+
+
+@flax.struct.dataclass
+class EnvState:
+    vehicle: VehicleState
+    t: jnp.ndarray              # int32 step counter (starts at 1 post-reset)
+    accum_arrive: jnp.ndarray   # monotonic box-union accumulator
+    status: jnp.ndarray         # int32 status code
+    scene: Scene
+
+
+class ParkingEnv:
+    """Holds static config + precomputed tables; all methods are pure and
+    jit/vmap-compatible (single-scenario semantics — use the ``batch_*``
+    wrappers or vmap yourself)."""
+
+    def __init__(self, cfg: EnvConfig = EnvConfig()):
+        self.cfg = cfg
+        self.corners = jnp.asarray(cfg.vehicle.box_corners(), jnp.float32)
+        self.angles = beam_angles(cfg.lidar)
+        self.hull_base = vehicle_boundary(cfg.lidar, cfg.vehicle)
+        self.mask_table: ActionMaskTable = build_table(cfg.mask, cfg.lidar, cfg.vehicle)
+
+    # ------------------------------------------------------------------ obs
+
+    def _target_repr(self, pose, dest):
+        """(5,) target representation (reference _get_targt_repr :372-381),
+        reproducing the duplicated-cos bug by default."""
+        dx = dest[0] - pose[0]
+        dy = dest[1] - pose[1]
+        rel_dist = jnp.hypot(dx, dy)
+        rel_angle = jnp.arctan2(dy, dx) - pose[2]
+        rel_heading = dest[2] - pose[2]
+        fifth = (jnp.cos(rel_heading) if self.cfg.obs.reproduce_target_repr_bug
+                 else jnp.sin(rel_heading))
+        return jnp.stack([rel_dist, jnp.cos(rel_angle), jnp.sin(rel_angle),
+                          jnp.cos(rel_heading), fifth])
+
+    def observe(self, state: EnvState) -> dict:
+        """Observation dict for one env (reference render :383-411)."""
+        cfg = self.cfg
+        pose = state.vehicle.pose
+        scene = state.scene
+        obs = {}
+        lidar = lidar_observation(pose, scene.edges, scene.edge_mask,
+                                  self.angles, self.hull_base, cfg.lidar)
+        if cfg.obs.use_lidar:
+            obs["lidar"] = lidar
+        if cfg.obs.use_action_mask:
+            obs["action_mask"] = get_steps(lidar, self.mask_table, cfg.mask, cfg.lidar)
+        if cfg.obs.use_img:
+            vbox = pose_to_box(pose, self.corners)
+            obs["img"] = render_bev(
+                pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
+                scene.edge_poly, cfg.obs, cfg.vehicle, cfg.max_obstacles,
+            ).transpose(2, 0, 1)  # CHW (reference observation_rescale)
+        obs["target"] = self._target_repr(pose, scene.dest)
+        return obs
+
+    # ----------------------------------------------------------------- reset
+
+    def reset(self, scene: Scene):
+        """Fresh state for one scenario; obs as after the reference's no-action
+        step (car_parking_base.py:127-138 — t ends at 1)."""
+        vehicle = VehicleState.from_pose(scene.start)
+        state = EnvState(
+            vehicle=vehicle,
+            t=jnp.asarray(1, jnp.int32),
+            accum_arrive=jnp.zeros(()),
+            status=jnp.asarray(CONTINUE, jnp.int32),
+            scene=scene,
+        )
+        return state, self.observe(state)
+
+    # ------------------------------------------------------------------ step
+
+    def _arrived(self, vbox, scene: Scene):
+        inter = convex_clip_area(vbox, scene.dest_box)
+        return inter / polygon_area(scene.dest_box) > self.cfg.arrive_overlap
+
+    def _collided(self, vbox, scene: Scene):
+        hits = segments_intersect(box_to_edges(vbox), scene.edges)
+        return jnp.any(hits & scene.edge_mask[None, :])
+
+    def _outbound(self, pose, scene: Scene):
+        b = scene.bounds
+        return (pose[0] < b[0]) | (pose[0] > b[1]) | (pose[1] < b[2]) | (pose[1] > b[3])
+
+    def step(self, state: EnvState, action, search_rs: bool = True):
+        """One control step for one env with a physical [steer, speed] action.
+
+        Returns (state, obs, reward, done, info); info carries the raw reward
+        terms, status, and (when ``search_rs``) the RS path found this step.
+        """
+        cfg = self.cfg
+        scene = state.scene
+        prev_pose = state.vehicle.pose
+
+        def substep(carry, _):
+            vehicle, frozen, arrived, coll_first, first = carry
+            cand = substep_closed_form(vehicle, action, cfg.vehicle)
+            vbox = pose_to_box(cand.pose, self.corners)
+            arr = self._arrived(vbox, scene)
+            col = self._collided(vbox, scene)
+            # reference order (:259-271): arrival accepted even when colliding;
+            # collision otherwise rolls the substep back and freezes
+            accept = (~frozen) & (arr | ~col)
+            vehicle = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), cand, vehicle
+            )
+            arrived = arrived | ((~frozen) & arr)
+            coll_first = coll_first | ((~frozen) & col & (~arr) & first)
+            frozen = frozen | arr | col
+            return (vehicle, frozen, arrived, coll_first, jnp.asarray(False)), None
+
+        init = (state.vehicle, jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(True))
+        (vehicle, _, arrived, coll_first, _), _ = jax.lax.scan(
+            substep, init, None, length=cfg.vehicle.n_substep
+        )
+
+        t = state.t + 1
+        pose = vehicle.pose
+        vbox = pose_to_box(pose, self.corners)
+        collided_status = coll_first & cfg.env_collide
+        status = jnp.where(
+            arrived,
+            ARRIVED,
+            jnp.where(
+                collided_status,
+                COLLIDED,
+                jnp.where(
+                    self._outbound(pose, scene),
+                    OUTBOUND,
+                    jnp.where(t > cfg.tolerant_time, OUTTIME, CONTINUE),
+                ),
+            ),
+        ).astype(jnp.int32)
+
+        terms, accum = step_reward_terms(
+            prev_pose, pose, t.astype(jnp.float32), vbox, scene.dest, scene.start,
+            scene.dest_box, state.accum_arrive, cfg,
+        )
+        cont = status == CONTINUE
+        terms = jnp.where(cont, terms, jnp.zeros_like(terms))
+        accum = jnp.where(cont, accum, state.accum_arrive)
+
+        new_state = EnvState(vehicle=vehicle, t=t, accum_arrive=accum,
+                             status=status, scene=scene)
+        obs = self.observe(new_state)
+        reward = shaped_reward(terms, status, cfg)
+        done = status != CONTINUE
+
+        info = {"status": status, "reward_terms": terms}
+        if search_rs:
+            near = jnp.hypot(pose[0] - scene.dest[0], pose[1] - scene.dest[1]) < cfg.rs_max_dist
+            want = (t > 1) & cont & near
+            rs = find_path(
+                pose, scene.dest, cfg.vehicle.max_curvature, self.corners,
+                scene.edges, scene.edge_mask, scene.bounds,
+                n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
+            )
+            info["rs"] = RSPath(found=rs.found & want, lengths=rs.lengths,
+                                steers=rs.steers, L=rs.L)
+        return new_state, obs, reward, done, info
+
+    def rescale_action(self, model_action):
+        """Model output [-1,1]^2 -> physical [steer, speed]
+        (reference env_wrapper.action_rescale :37-50)."""
+        a = jnp.clip(model_action, -1.0, 1.0)
+        return a * jnp.asarray([self.cfg.vehicle.max_steer, self.cfg.vehicle.max_speed])
+
+    # --------------------------------------------------------------- batching
+
+    def batch_reset(self, scenes: Scene):
+        return jax.vmap(self.reset)(scenes)
+
+    def batch_step(self, state: EnvState, actions, search_rs: bool = True):
+        return jax.vmap(partial(self.step, search_rs=search_rs))(state, actions)
+
+    @staticmethod
+    def reset_where(state: EnvState, fresh: EnvState, done):
+        """Lockstep auto-reset: where ``done``, adopt the fresh per-env state
+        (scenario swap included) — finished scenarios never stall the batch."""
+        def sel(a, b):
+            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+            return jnp.where(d, a, b)
+
+        return jax.tree.map(sel, fresh, state)
+
+    @property
+    def observation_shape(self) -> dict:
+        cfg = self.cfg
+        shape = {}
+        if cfg.obs.use_lidar:
+            shape["lidar"] = (cfg.lidar.n_beams,)
+        if cfg.obs.use_action_mask:
+            shape["action_mask"] = (cfg.mask.n_actions,)
+        if cfg.obs.use_img:
+            shape["img"] = (3, cfg.obs.img_size, cfg.obs.img_size)
+        shape["target"] = (cfg.obs.target_dim,)
+        return shape

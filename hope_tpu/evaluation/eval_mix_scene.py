@@ -1,0 +1,100 @@
+"""Mixed-scene evaluation CLI (reference evaluation/eval_mix_scene.py):
+evaluates a checkpointed agent over Extrem -> dlp -> Complex -> Normal
+scenario batteries and writes per-level reports.
+
+Usage: python -m hope_tpu.evaluation.eval_mix_scene CKPT_DIR --episodes 256
+       python -m hope_tpu.evaluation.eval_mix_scene random --episodes 64
+         ('random' evaluates a freshly-initialized agent — useful for smoke)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents import SACAgent, PPOAgent
+from ..config import EnvConfig, ObsConfig, PPOConfig, SACConfig, actor_net_config, critic_net_config
+from ..envs import ParkingEnv
+from ..envs.scenario_gen import generate_bank
+from ..train.scene_pool import pad_scene_batch
+from ..utils.checkpoint import load_checkpoint
+from .evaluate import build_episode_runner, summarize, write_report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt", type=str)
+    ap.add_argument("--episodes", type=int, default=256, help="episodes per level")
+    ap.add_argument("--agent", choices=["sac", "ppo"], default=None)
+    ap.add_argument("--no-img", action="store_true")
+    ap.add_argument("--no-dlp", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=200)
+    ap.add_argument("--out", type=str, default="log/eval")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    agent_type = args.agent or ("ppo" if "ppo" in args.ckpt.lower() else "sac")
+    obs_cfg = ObsConfig(use_img=not args.no_img)
+    env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
+                        max_obstacles=32 if args.no_dlp else 128)
+    env = ParkingEnv(env_cfg)
+
+    if agent_type == "sac":
+        agent = SACAgent(actor_net_config(obs_cfg),
+                         critic_net_config(obs_cfg, action_input=True),
+                         SACConfig(), env.observation_shape, env.mask_table)
+    else:
+        agent = PPOAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg),
+                         PPOConfig(), env.observation_shape, env.mask_table)
+    state = agent.init(jax.random.PRNGKey(args.seed))
+    if args.ckpt != "random":
+        state = load_checkpoint(args.ckpt, state)
+
+    # PPO evals masked choose_action; SAC evals raw get_action
+    # (reference eval_mix_scene.py:87, eval_utils.py:42-45)
+    if agent_type == "ppo":
+        policy_act = lambda obs, k: agent.choose_action(state, obs, k)  # noqa: E731
+    else:
+        policy_act = lambda obs, k: agent.get_action(state, obs, k)  # noqa: E731
+    policy_logp = lambda obs, a: agent.log_prob(state, obs, a)  # noqa: E731
+
+    run = build_episode_runner(env, policy_act, policy_logp, args.max_steps)
+    os.makedirs(args.out, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed + 7)
+
+    levels = ["Extrem", "Complex", "Normal"] if args.no_dlp else \
+        ["Extrem", "dlp", "Complex", "Normal"]
+    results = {}
+    for level in levels:
+        key, k1, k2 = jax.random.split(key, 3)
+        if level == "dlp":
+            from ..envs.dlp import DLPDataset
+
+            ds = DLPDataset(env_cfg=env_cfg)
+            ids = jnp.arange(args.episodes) % ds.n_cases
+            scenes = ds.batch_reset(jax.random.split(k1, args.episodes), ids)
+            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
+        else:
+            scenes, ok = generate_bank(k1, level=level, n=args.episodes)
+            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
+        metrics = run(scenes, k2)
+        summary = summarize(jax.tree.map(np.asarray, metrics))
+        results[level] = summary
+        write_report(os.path.join(args.out, f"result_{level}.json"), summary)
+        print(json.dumps({level: summary["success_rate"],
+                          "steps": summary["success_steps_mean"]}), flush=True)
+
+    write_report(os.path.join(args.out, "result_all.json"), results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

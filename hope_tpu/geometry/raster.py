@@ -1,0 +1,95 @@
+"""On-device ego-centric BEV rasterizer.
+
+Replaces the reference's pygame full-frame render + rotate + crop + cv2 resize
+pipeline (``env/car_parking_base.py:301-365``, ``env/observation_processor.py``)
+with a direct per-pixel evaluation: each output pixel's world point is tested
+against the obstacle polygons (crossing-number parity via an MXU matmul over
+the padded edge set), the destination box, and the vehicle box.  Produces the
+same content channels at the same scale/centering as the reference's processed
+64x64x3 observation (background black, obstacles grey, dest green, car blue);
+pixel-exact pygame parity is not a goal — the tensor feeds the policy network.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ObsConfig, VehicleConfig
+
+# reference colors (configs.py:80-84) / 255
+_OBST = jnp.asarray([150.0, 150.0, 150.0]) / 255.0
+_DEST = jnp.asarray([69.0, 139.0, 0.0]) / 255.0
+_CAR = jnp.asarray([30.0, 144.0, 255.0]) / 255.0
+
+
+def _pixel_grid(pose, obs_cfg: ObsConfig, vcfg: VehicleConfig):
+    """World coordinates of each output pixel: image centered on the vehicle
+    box centroid, rotated so the car points up (+row 0)."""
+    n = obs_cfg.img_size
+    res = obs_cfg.img_res
+    half = (n - 1) / 2.0
+    i = jnp.arange(n)
+    u = (i - half) * res          # rightward in ego frame (columns)
+    v = (half - i) * res          # forward in ego frame (rows)
+    fwd, right = jnp.meshgrid(v, u, indexing="ij")      # (n, n)
+
+    cx_off = (vcfg.front_hang + vcfg.wheel_base - vcfg.rear_hang) / 2.0
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    cx = pose[0] + c * cx_off
+    cy = pose[1] + s * cx_off
+    wx = cx + c * fwd - s * right
+    wy = cy + s * fwd + c * right
+    return jnp.stack([wx, wy], axis=-1).reshape(-1, 2)  # (n*n, 2)
+
+
+def _in_polys(points, edges, edge_mask, edge_poly, max_polys: int):
+    """Point-in-any-polygon via crossing-number parity.
+
+    crossings (P, E) x one-hot (E, K) runs on the MXU; parity per polygon, then
+    any-of reduces over polygons.
+    """
+    px = points[:, 0:1]
+    py = points[:, 1:2]
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    dy = y2 - y1
+    denom = jnp.where(dy == 0.0, 1.0, dy)
+    straddle = ((y1 > py) != (y2 > py)) & edge_mask[None, :]
+    xi = x1 + (py - y1) * (x2 - x1) / denom
+    cross = (straddle & (px < xi)).astype(jnp.bfloat16)           # (P, E)
+
+    onehot = (edge_poly[:, None] == jnp.arange(max_polys)[None, :])
+    onehot = (onehot & edge_mask[:, None]).astype(jnp.bfloat16)    # (E, K)
+    counts = jnp.dot(cross, onehot, preferred_element_type=jnp.float32)
+    inside_k = jnp.mod(jnp.round(counts).astype(jnp.int32), 2) == 1
+    return jnp.any(inside_k, axis=-1)                              # (P,)
+
+
+def _in_quad(points, quad):
+    """Point in convex CCW quad via 4 half-plane tests."""
+    inside = jnp.ones(points.shape[0], bool)
+    for i in range(4):
+        a = quad[i]
+        b = quad[(i + 1) % 4]
+        cr = (b[0] - a[0]) * (points[:, 1] - a[1]) - (b[1] - a[1]) * (points[:, 0] - a[0])
+        inside = inside & (cr >= 0.0)
+    return inside
+
+
+def render_bev(pose, vehicle_box, dest_box, edges, edge_mask, edge_poly,
+               obs_cfg: ObsConfig, vcfg: VehicleConfig, max_polys: int = 64):
+    """Ego-centric (H, W, 3) float BEV image for one scenario (vmap to batch).
+
+    Draw order matches the reference (_render :301-320): obstacles, then dest,
+    then the vehicle on top; background black (processed obs, observation_
+    processor.py:11-23).
+    """
+    pts = _pixel_grid(pose, obs_cfg, vcfg)
+    obst = _in_polys(pts, edges, edge_mask, edge_poly, max_polys)
+    dest = _in_quad(pts, dest_box)
+    car = _in_quad(pts, vehicle_box)
+
+    n = obs_cfg.img_size
+    img = jnp.zeros((n * n, 3))
+    img = jnp.where(obst[:, None], _OBST, img)
+    img = jnp.where(dest[:, None], _DEST, img)
+    img = jnp.where(car[:, None], _CAR, img)
+    return img.reshape(n, n, 3)

@@ -1,0 +1,82 @@
+"""Host-side curriculum (reference train/train_HOPE_sac.py:23-97).
+
+``SceneChoose``: uniform over the 4 scene classes for the first 200 episodes,
+then 50% worst-performer sampling weighted by target-shortfall.
+``DlpCaseChoose``: per-case failure-rate-weighted sampling over the 248 DLP
+cases.  Pure numpy — these run between jitted device steps.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LEVELS = ["Normal", "Complex", "Extrem", "dlp"]
+TARGET_SUCCESS = np.array([0.95, 0.95, 0.90, 0.99])
+
+
+class SceneChoose:
+    def __init__(self, history_horizon: int = 200, rng=None):
+        self.rng = rng or np.random.default_rng(0)
+        self.success_record = {i: [] for i in range(len(LEVELS))}
+        self.scene_record: list[int] = []
+        self.history_horizon = history_horizon
+
+    def choose_case(self) -> int:
+        if len(self.scene_record) < self.history_horizon or self.rng.random() <= 0.5:
+            chosen = self._uniform()
+        else:
+            chosen = self._worst()
+        self.scene_record.append(chosen)
+        return chosen
+
+    def choose_batch(self, n: int) -> np.ndarray:
+        return np.array([self.choose_case() for _ in range(n)])
+
+    def update_success_record(self, success: int, scene_id: int | None = None):
+        sid = self.scene_record[-1] if scene_id is None else scene_id
+        self.success_record[sid].append(int(success))
+
+    def _uniform(self) -> int:
+        counts = np.zeros(len(LEVELS))
+        for s in self.scene_record[-self.history_horizon:]:
+            counts[s] += 1
+        return int(np.argmin(counts))
+
+    def _worst(self) -> int:
+        rates = []
+        for i in range(len(LEVELS)):
+            rec = self.success_record[i][-250:]
+            rates.append(np.sum(rec) / len(rec) if rec else 0.0)
+        fail = np.clip(TARGET_SUCCESS - np.array(rates), 0.01, 1.0)
+        fail = fail / fail.sum()
+        return int(self.rng.choice(len(LEVELS), p=fail))
+
+    def recent_success(self, window: int = 100) -> np.ndarray:
+        out = []
+        for i in range(len(LEVELS)):
+            rec = self.success_record[i][-window:]
+            out.append(np.mean(rec) if rec else 0.0)
+        return np.array(out)
+
+
+class DlpCaseChoose:
+    def __init__(self, n_cases: int = 248, rng=None):
+        self.rng = rng or np.random.default_rng(1)
+        self.n_cases = n_cases
+        self.case_record: list[int] = []
+        self.case_success: dict[int, list[int]] = {i: [] for i in range(n_cases)}
+        self.horizon = 500
+
+    def choose_case(self) -> int:
+        if self.rng.random() < 0.2 or len(self.case_record) < self.horizon:
+            return int(self.rng.integers(0, self.n_cases))
+        rates = np.array([
+            (np.mean(self.case_success[i][-10:]) if len(self.case_success[i]) > 1 else 0.0)
+            for i in range(self.n_cases)
+        ])
+        fail = np.clip(1.0 - rates, 0.005, 1.0)
+        fail = fail / fail.sum()
+        return int(self.rng.choice(self.n_cases, p=fail))
+
+    def update_success_record(self, success: int, case_id: int):
+        self.case_success[case_id].append(int(success))
+        self.case_record.append(case_id)
