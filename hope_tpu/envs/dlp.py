@@ -29,7 +29,7 @@ class DLPDataset:
     """Holds the full case bank as device arrays; 248 cases."""
 
     def __init__(self, path: str = _DEFAULT_PATH, env_cfg: EnvConfig | None = None,
-                 vcfg: VehicleConfig = VehicleConfig()):
+                 vcfg: VehicleConfig = VehicleConfig(), classify: bool = True):
         raw = np.load(path)
         self.env_cfg = env_cfg or EnvConfig(max_edges=512, max_obstacles=128)
         self.vcfg = vcfg
@@ -42,6 +42,21 @@ class DLPDataset:
         self.starts = jnp.asarray(raw["starts"])        # (C, S, 3)
         self.n_starts = jnp.asarray(raw["n_starts"])
         self.corners = jnp.asarray(vcfg.box_corners(), jnp.float32)
+        # per-(case, start-candidate) difficulty (reference classifies every
+        # reset via get_map_level, parking_map_dlp.py:84; here it's a
+        # precomputed table so the jitted reset is a lookup).  The exporter
+        # caches it in the npz; recompute when absent.
+        if "levels" in raw.files:
+            levels = raw["levels"]
+        elif classify:
+            from .map_level import classify_cases
+
+            levels = classify_cases(raw["starts"], raw["dest"], raw["edges"],
+                                    raw["edge_mask"], raw["edge_poly"],
+                                    raw["n_polys"], raw["n_starts"], vcfg)
+        else:
+            levels = np.full(self.starts.shape[:2], LEVEL_DLP, np.int32)
+        self.level_table = jnp.asarray(levels, jnp.int32)  # (C, S)
 
     def _flip_pose(self, pose):
         """Mirror a pose through its own box centre and turn it around
@@ -117,7 +132,7 @@ class DLPDataset:
             dest=dest.astype(jnp.float32),
             dest_box=dest_box.astype(jnp.float32),
             bounds=bounds.astype(jnp.float32),
-            level=jnp.asarray(LEVEL_DLP, jnp.int32),
+            level=self.level_table[case_id, si],
             case_id=case_id.astype(jnp.int32),
         )
 

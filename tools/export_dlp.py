@@ -101,10 +101,17 @@ def main():
         stats_edges.append(k)
         stats_starts.append(ns)
 
+    # difficulty per (case, start candidate) — reference classifies every
+    # reset (parking_map_dlp.py:84); cached here so loading is a table lookup
+    from hope_tpu.envs.map_level import classify_cases
+
+    levels = classify_cases(starts, dests, edges, edge_mask, edge_poly,
+                            n_polys, n_starts)
+
     np.savez_compressed(
         args.out,
         edges=edges, edge_mask=edge_mask, edge_poly=edge_poly, n_polys=n_polys,
-        dest=dests, starts=starts, n_starts=n_starts,
+        dest=dests, starts=starts, n_starts=n_starts, levels=levels,
     )
     print(f"exported {n_cases} cases -> {args.out}")
     print(f"edges/case: max={max(stats_edges)} mean={np.mean(stats_edges):.1f}")
