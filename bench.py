@@ -114,12 +114,18 @@ def main():
         (state, obs), rs = jax.lax.scan(step, (state, obs), jax.random.split(key, 20))
         return state, obs, rs
 
+    # two warmup calls: the first compiles, the second still pays one-time
+    # buffer/layout costs on the axon tunnel; steady state starts at call 3
     out = rollout(state, obs, k3)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = rollout(*out[:2], jax.random.fold_in(k3, 1))
+    out = rollout(*out[:2], jax.random.fold_in(k3, 0))
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_timed = 3
+    for i in range(1, n_timed + 1):
+        out = rollout(*out[:2], jax.random.fold_in(k3, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_timed
     steps_per_sec = B * 20 / dt
 
     ref_rate = numpy_reference_step_rate()

@@ -67,6 +67,43 @@ def substep_closed_form(state: VehicleState, action, cfg: VehicleConfig) -> Vehi
     )
 
 
+def substep_trajectory(state: VehicleState, action, cfg: VehicleConfig,
+                       n_substeps: int | None = None) -> VehicleState:
+    """All ``n`` intermediate sub-step states of one control step at once:
+    a VehicleState with a leading (n,) axis holding the pose after k = 1..n
+    sub-steps.
+
+    Because speed and steering are constant within a control step, every
+    intermediate pose is the same closed-form arc evaluated at k*dt — so the
+    reference's sequential per-substep loop (``car_parking_base.py:235-276``)
+    becomes one parallel evaluation, and the per-substep arrival/collision/
+    rollback semantics reduce to a first-event selection over the k axis.
+    """
+    n = cfg.n_substep if n_substeps is None else n_substeps
+    steer, speed = clip_action(action, cfg)
+    m = cfg.euler_iters
+    h = cfg.dt / m
+    delta = speed * jnp.tan(steer) / cfg.wheel_base * h
+
+    iters = jnp.arange(1, n + 1) * m                 # Euler iters to pose k
+    half = 0.5 * delta
+    sin_half = jnp.sin(half)
+    tiny = jnp.abs(sin_half) < 1e-7
+    ratio = jnp.where(
+        tiny, iters.astype(jnp.result_type(half)),
+        jnp.sin(iters * half) / jnp.where(tiny, 1.0, sin_half),
+    )
+    mid = state.heading + (iters - 1) * half
+    ones = jnp.ones_like(ratio)
+    return VehicleState(
+        x=state.x + speed * h * jnp.cos(mid) * ratio,
+        y=state.y + speed * h * jnp.sin(mid) * ratio,
+        heading=state.heading + iters * delta,
+        speed=speed * ones,
+        steer=steer * ones,
+    )
+
+
 def substep_euler(state: VehicleState, action, cfg: VehicleConfig) -> VehicleState:
     """Literal 20-iteration Euler sub-step (reference vehicle.py:88-93); used by the
     parity tests as the ground-truth recurrence."""

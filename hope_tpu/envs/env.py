@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EnvConfig
-from ..dynamics import VehicleState, substep_closed_form
+from ..dynamics import VehicleState, substep_trajectory
 from ..geometry import (
     box_to_edges,
     convex_clip_area,
@@ -130,27 +130,29 @@ class ParkingEnv:
         scene = state.scene
         prev_pose = state.vehicle.pose
 
-        def substep(carry, _):
-            vehicle, frozen, arrived, coll_first, first = carry
-            cand = substep_closed_form(vehicle, action, cfg.vehicle)
-            vbox = pose_to_box(cand.pose, self.corners)
-            arr = self._arrived(vbox, scene)
-            col = self._collided(vbox, scene)
-            # reference order (:259-271): arrival accepted even when colliding;
-            # collision otherwise rolls the substep back and freezes
-            accept = (~frozen) & (arr | ~col)
-            vehicle = jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), cand, vehicle
-            )
-            arrived = arrived | ((~frozen) & arr)
-            coll_first = coll_first | ((~frozen) & col & (~arr) & first)
-            frozen = frozen | arr | col
-            return (vehicle, frozen, arrived, coll_first, jnp.asarray(False)), None
+        # All candidate sub-step poses are the same closed-form arc evaluated
+        # at k*dt (action constant within a control step), so the reference's
+        # sequential accept/rollback loop (:259-271) becomes one parallel
+        # evaluation plus a first-event selection: freeze at the first sub-step
+        # k* with arrival or collision; arrival accepts pose k*, collision
+        # rolls back to pose k*-1 (the pre-step state when k* == 1).
+        n = cfg.vehicle.n_substep
+        traj = substep_trajectory(state.vehicle, action, cfg.vehicle, n)
+        boxes = pose_to_box(traj.pose, self.corners)           # (n, 4, 2)
+        arr = jax.vmap(lambda b: self._arrived(b, scene))(boxes)
+        col = jax.vmap(lambda b: self._collided(b, scene))(boxes)
 
-        init = (state.vehicle, jnp.asarray(False), jnp.asarray(False),
-                jnp.asarray(False), jnp.asarray(True))
-        (vehicle, _, arrived, coll_first, _), _ = jax.lax.scan(
-            substep, init, None, length=cfg.vehicle.n_substep
+        event = arr | col
+        has_event = jnp.any(event)
+        f0 = jnp.argmax(event)                                 # first event idx
+        arrived = has_event & arr[f0]
+        coll_first = col[0] & ~arr[0]                          # substep-1 collision
+        final_idx = jnp.where(~has_event, n - 1,
+                              jnp.where(arr[f0], f0, f0 - 1))
+        vehicle = jax.tree.map(
+            lambda t, s0: jnp.where(final_idx >= 0,
+                                    t[jnp.maximum(final_idx, 0)], s0),
+            traj, state.vehicle,
         )
 
         t = state.t + 1

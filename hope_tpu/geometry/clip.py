@@ -41,14 +41,16 @@ def _clip_halfplane(verts, n, a, b):
     emit_cur = in_cur & active
     emit_ip = (in_cur != in_nxt) & active
 
-    # interleave [cur_0, ip_0, cur_1, ip_1, ...] then compact by prefix sum
+    # interleave [cur_0, ip_0, cur_1, ip_1, ...] then compact by prefix sum.
+    # Compaction is a one-hot contraction, not a scatter: scatters serialize
+    # badly on the TPU VPU, while this (2M, M) masked matmul fuses cleanly.
     pts = jnp.stack([cur, ip], axis=1).reshape(2 * _MAXV, 2)
     flags = jnp.stack([emit_cur, emit_ip], axis=1).reshape(2 * _MAXV)
     pos = jnp.cumsum(flags) - 1
-    pos = jnp.where(flags, pos, 2 * _MAXV)  # dropped (out-of-bounds scatter)
+    pos = jnp.where(flags, pos, -1)  # dropped -> matches no output slot
 
-    out = jnp.zeros((_MAXV, 2), verts.dtype)
-    out = out.at[pos].set(pts, mode="drop")
+    onehot = (pos[:, None] == jnp.arange(_MAXV)[None, :]).astype(verts.dtype)
+    out = onehot.T @ pts
     return out, jnp.sum(flags)
 
 
