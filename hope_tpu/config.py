@@ -100,6 +100,10 @@ class ObsConfig:
     # reference car_parking_base.py:380 duplicates cos(rel_dest_heading) where sin was
     # intended; keep the bug by default for parity, flip to get the fixed 5th feature.
     reproduce_target_repr_bug: bool = True
+    # action-mask reduction backend for batched observation: "auto" picks the
+    # Pallas kernel (hope_tpu.ops.mask_step_lengths) on TPU and the fused XLA
+    # form elsewhere; "pallas"/"xla" force one.
+    mask_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -120,19 +120,29 @@ def _min_filter5_reflect(x):
     return jnp.min(jnp.stack([p[i : i + x.shape[0]] for i in range(5)]), axis=0)
 
 
-def get_steps(raw_lidar, table: ActionMaskTable, cfg: ActionMaskConfig,
-              lidar_cfg: LidarConfig = LidarConfig()):
-    """Mask in [0, 1]^A: fraction of the horizon each discrete action can run
-    collision-free (reference get_steps :166-196 incl. post_process)."""
+def step_lengths(raw_lidar, table: ActionMaskTable, cfg: ActionMaskConfig,
+                 lidar_cfg: LidarConfig = LidarConfig()):
+    """Per-action collision-free sub-step counts (pre-post-process), one env.
+
+    Per (ray, action): first blocked sub-step index, n_iter when all safe;
+    then min over rays.  First-blocked + min-over-rays collapses into ONE
+    joint min over (ray, k) of (blocked ? k : n_iter): for every k' < the
+    first blocked k the entry is n_iter >= k, so the joint min equals the
+    per-ray first-block min — a single fused compare+reduce on the VPU
+    instead of the reference's argmin/any/where cascade (action_mask.py:173).
+    ``hope_tpu.ops.mask_step_lengths`` is the batched Pallas form of the same
+    reduction.
+    """
     obs = jnp.clip(raw_lidar, 0.0, lidar_cfg.max_range) + table.hull_base
     dist_obs = _linear_upsample_circular(obs, cfg.upsample)[:, None, None]
-    safe = table.dist_star <= dist_obs                 # (R*up, A, I)
-    # first blocked sub-step per (ray, action); all-safe rows allow n_iter
-    blocked = ~safe
-    first_block = jnp.argmax(blocked, axis=-1)
-    max_step = jnp.where(jnp.any(blocked, axis=-1), first_block, cfg.n_iter)
-    step_len = jnp.min(max_step, axis=0).astype(jnp.float32)  # (A,)
+    k_idx = jnp.arange(cfg.n_iter, dtype=jnp.float32)
+    w = jnp.where(table.dist_star > dist_obs, k_idx, float(cfg.n_iter))
+    return jnp.min(w, axis=(0, 2))                     # (A,)
 
+
+def postprocess(step_len, cfg: ActionMaskConfig):
+    """Edge penalty + 5-wide erosion + normalization (reference post_process
+    :176-196), one env."""
     half = cfg.n_actions // 2
     fwd, bwd = step_len[:half], step_len[half:]
     edge = jnp.zeros(half).at[0].set(1.0).at[half - 1].set(1.0)
@@ -141,6 +151,13 @@ def get_steps(raw_lidar, table: ActionMaskTable, cfg: ActionMaskConfig,
     mask = jnp.clip(jnp.concatenate([fwd, bwd]), 0.0, cfg.n_iter) / cfg.n_iter
     # degenerate all-blocked mask: tiny uniform floor (reference :182-183)
     return jnp.where(jnp.sum(mask) == 0.0, jnp.clip(mask, 0.01, 1.0), mask)
+
+
+def get_steps(raw_lidar, table: ActionMaskTable, cfg: ActionMaskConfig,
+              lidar_cfg: LidarConfig = LidarConfig()):
+    """Mask in [0, 1]^A: fraction of the horizon each discrete action can run
+    collision-free (reference get_steps :166-196 incl. post_process)."""
+    return postprocess(step_lengths(raw_lidar, table, cfg, lidar_cfg), cfg)
 
 
 def choose_action(key, mean, std, mask, table: ActionMaskTable):

@@ -28,7 +28,7 @@ from ..geometry import (
 )
 from ..geometry.raster import render_bev
 from ..planning import RSPath, find_path
-from .action_mask import ActionMaskTable, build_table, get_steps
+from .action_mask import ActionMaskTable, build_table, get_steps, postprocess
 from .lidar import beam_angles, lidar_observation, vehicle_boundary
 from .rewards import ARRIVED, COLLIDED, CONTINUE, OUTBOUND, OUTTIME, shaped_reward, step_reward_terms
 from .scene import Scene
@@ -54,6 +54,10 @@ class ParkingEnv:
         self.angles = beam_angles(cfg.lidar)
         self.hull_base = vehicle_boundary(cfg.lidar, cfg.vehicle)
         self.mask_table: ActionMaskTable = build_table(cfg.mask, cfg.lidar, cfg.vehicle)
+        backend = cfg.obs.mask_backend
+        self._pallas_mask = (backend == "pallas" or
+                             (backend == "auto"
+                              and jax.default_backend() == "tpu"))
 
     # ------------------------------------------------------------------ obs
 
@@ -91,19 +95,64 @@ class ParkingEnv:
         obs["target"] = self._target_repr(pose, scene.dest)
         return obs
 
+    def observe_batch(self, state: EnvState) -> dict:
+        """Batched observation for a whole env batch (leading dim B).
+
+        Same semantics as ``vmap(observe)`` but the action-mask reduction runs
+        through the batched Pallas kernel on TPU (``ops.mask_step_lengths``);
+        used by ``batch_step``/``batch_reset``.
+        """
+        cfg = self.cfg
+        pose = state.vehicle.pose                      # (B, 3)
+        scene = state.scene
+        obs = {}
+        lidar = jax.vmap(
+            lambda p, e, m: lidar_observation(p, e, m, self.angles,
+                                              self.hull_base, cfg.lidar)
+        )(pose, scene.edges, scene.edge_mask)
+        if cfg.obs.use_lidar:
+            obs["lidar"] = lidar
+        if cfg.obs.use_action_mask:
+            if self._pallas_mask:
+                from ..ops import mask_step_lengths
+
+                ext = (jnp.clip(lidar, 0.0, cfg.lidar.max_range)
+                       + self.mask_table.hull_base)
+                sl = mask_step_lengths(ext, self.mask_table.dist_star,
+                                       cfg.mask.n_iter, cfg.mask.upsample)
+                obs["action_mask"] = jax.vmap(
+                    lambda s: postprocess(s, cfg.mask))(sl)
+            else:
+                obs["action_mask"] = jax.vmap(
+                    lambda l: get_steps(l, self.mask_table, cfg.mask,
+                                        cfg.lidar))(lidar)
+        if cfg.obs.use_img:
+            vbox = pose_to_box(pose, self.corners)
+            obs["img"] = jax.vmap(
+                lambda p, vb, db, e, m, ep: render_bev(
+                    p, vb, db, e, m, ep, cfg.obs, cfg.vehicle,
+                    cfg.max_obstacles,
+                ).transpose(2, 0, 1)
+            )(pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
+              scene.edge_poly)
+        obs["target"] = jax.vmap(self._target_repr)(pose, scene.dest)
+        return obs
+
     # ----------------------------------------------------------------- reset
 
-    def reset(self, scene: Scene):
-        """Fresh state for one scenario; obs as after the reference's no-action
-        step (car_parking_base.py:127-138 — t ends at 1)."""
-        vehicle = VehicleState.from_pose(scene.start)
-        state = EnvState(
-            vehicle=vehicle,
+    def _init_state(self, scene: Scene) -> EnvState:
+        return EnvState(
+            vehicle=VehicleState.from_pose(scene.start),
             t=jnp.asarray(1, jnp.int32),
             accum_arrive=jnp.zeros(()),
             status=jnp.asarray(CONTINUE, jnp.int32),
             scene=scene,
         )
+
+    def reset(self, scene: Scene):
+        """Fresh state for one scenario; obs as after the reference's no-action
+        step (car_parking_base.py:127-138 — t ends at 1)."""
+        state = self._init_state(scene)
         return state, self.observe(state)
 
     # ------------------------------------------------------------------ step
@@ -120,12 +169,10 @@ class ParkingEnv:
         b = scene.bounds
         return (pose[0] < b[0]) | (pose[0] > b[1]) | (pose[1] < b[2]) | (pose[1] > b[3])
 
-    def step(self, state: EnvState, action, search_rs: bool = True):
-        """One control step for one env with a physical [steer, speed] action.
-
-        Returns (state, obs, reward, done, info); info carries the raw reward
-        terms, status, and (when ``search_rs``) the RS path found this step.
-        """
+    def _transition(self, state: EnvState, action, search_rs: bool = True):
+        """One control step minus observation rendering: dynamics, termination,
+        reward, RS endgame search.  Single-env; ``batch_step`` vmaps this and
+        renders observations batched."""
         cfg = self.cfg
         scene = state.scene
         prev_pose = state.vehicle.pose
@@ -183,7 +230,6 @@ class ParkingEnv:
 
         new_state = EnvState(vehicle=vehicle, t=t, accum_arrive=accum,
                              status=status, scene=scene)
-        obs = self.observe(new_state)
         reward = shaped_reward(terms, status, cfg)
         done = status != CONTINUE
 
@@ -198,7 +244,16 @@ class ParkingEnv:
             )
             info["rs"] = RSPath(found=rs.found & want, lengths=rs.lengths,
                                 steers=rs.steers, L=rs.L)
-        return new_state, obs, reward, done, info
+        return new_state, reward, done, info
+
+    def step(self, state: EnvState, action, search_rs: bool = True):
+        """One control step for one env with a physical [steer, speed] action.
+
+        Returns (state, obs, reward, done, info); info carries the raw reward
+        terms, status, and (when ``search_rs``) the RS path found this step.
+        """
+        new_state, reward, done, info = self._transition(state, action, search_rs)
+        return new_state, self.observe(new_state), reward, done, info
 
     def rescale_action(self, model_action):
         """Model output [-1,1]^2 -> physical [steer, speed]
@@ -209,10 +264,13 @@ class ParkingEnv:
     # --------------------------------------------------------------- batching
 
     def batch_reset(self, scenes: Scene):
-        return jax.vmap(self.reset)(scenes)
+        state = jax.vmap(self._init_state)(scenes)
+        return state, self.observe_batch(state)
 
     def batch_step(self, state: EnvState, actions, search_rs: bool = True):
-        return jax.vmap(partial(self.step, search_rs=search_rs))(state, actions)
+        new_state, reward, done, info = jax.vmap(
+            partial(self._transition, search_rs=search_rs))(state, actions)
+        return new_state, self.observe_batch(new_state), reward, done, info
 
     @staticmethod
     def reset_where(state: EnvState, fresh: EnvState, done):
