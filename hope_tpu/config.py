@@ -140,6 +140,7 @@ class EnvConfig:
     # Reeds-Shepp
     rs_step_size: float = 0.1       # metres between discretized path points
     rs_max_points: int = 288        # fixed discretization budget per candidate path
+    rs_max_tries: int = 6           # shortest candidate words collision-checked
     rs_queue_len: int = 32          # fixed action-queue budget for RS execution
 
     @property

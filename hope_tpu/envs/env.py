@@ -27,7 +27,7 @@ from ..geometry import (
     segments_intersect,
 )
 from ..geometry.raster import render_bev
-from ..planning import RSPath, find_path
+from ..planning import RSPath, find_path, find_path_batch
 from .action_mask import ActionMaskTable, build_table, get_steps, postprocess
 from .lidar import beam_angles, lidar_observation, vehicle_boundary
 from .rewards import ARRIVED, COLLIDED, CONTINUE, OUTBOUND, OUTTIME, shaped_reward, step_reward_terms
@@ -269,8 +269,29 @@ class ParkingEnv:
 
     def batch_step(self, state: EnvState, actions, search_rs: bool = True):
         new_state, reward, done, info = jax.vmap(
-            partial(self._transition, search_rs=search_rs))(state, actions)
+            partial(self._transition, search_rs=False))(state, actions)
+        if search_rs:
+            info["rs"] = self._batch_rs(new_state)
         return new_state, self.observe_batch(new_state), reward, done, info
+
+    def _batch_rs(self, state: EnvState) -> RSPath:
+        """Batch-level RS endgame search (semantics of _transition's per-env
+        search); the swept-trajectory collision check runs through the Pallas
+        kernel on TPU."""
+        cfg = self.cfg
+        scene = state.scene
+        pose = state.vehicle.pose                          # (B, 3)
+        near = jnp.hypot(pose[:, 0] - scene.dest[:, 0],
+                         pose[:, 1] - scene.dest[:, 1]) < cfg.rs_max_dist
+        want = (state.t > 1) & (state.status == CONTINUE) & near
+        rs = find_path_batch(
+            pose, scene.dest, cfg.vehicle.max_curvature, self.corners,
+            scene.edges, scene.edge_mask, scene.bounds,
+            n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
+            max_tries=cfg.rs_max_tries, use_pallas=self._pallas_mask,
+        )
+        return RSPath(found=rs.found & want, lengths=rs.lengths,
+                      steers=rs.steers, L=rs.L)
 
     @staticmethod
     def reset_where(state: EnvState, fresh: EnvState, done):

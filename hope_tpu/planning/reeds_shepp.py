@@ -350,21 +350,20 @@ def sample_path(lengths, steers, start, maxc, n_points, step_m):
     total = cum[-1]
     starts_cum = jnp.concatenate([jnp.zeros(1), cum[:-1]])
 
-    # segment start poses in the normalized local frame (unit curvature)
-    def seg_advance(pose, inp):
-        l, sig = inp
-        x0, y0, th0 = pose
-        straight = sig == 0.0
-        x1 = jnp.where(straight, x0 + l * jnp.cos(th0),
-                       x0 + sig * (jnp.sin(th0 + sig * l) - jnp.sin(th0)))
-        y1 = jnp.where(straight, y0 + l * jnp.sin(th0),
-                       y0 - sig * (jnp.cos(th0 + sig * l) - jnp.cos(th0)))
-        th1 = th0 + sig * l
-        return jnp.stack([x1, y1, th1]), jnp.stack([x0, y0, th0])
-
-    end_pose, seg_start_poses = jax.lax.scan(
-        seg_advance, jnp.zeros(3), (lengths, steers)
-    )
+    # segment start poses in the normalized local frame (unit curvature);
+    # unrolled over the 5 segments (no scan: tiny fixed trip count)
+    seg_starts = []
+    x0 = y0 = th0 = jnp.zeros(())
+    for i in range(N_SEG):
+        seg_starts.append(jnp.stack([x0, y0, th0]))
+        l, sig_i = lengths[i], steers[i]
+        straight = sig_i == 0.0
+        x0 = jnp.where(straight, x0 + l * jnp.cos(th0),
+                       x0 + sig_i * (jnp.sin(th0 + sig_i * l) - jnp.sin(th0)))
+        y0 = jnp.where(straight, y0 + l * jnp.sin(th0),
+                       y0 - sig_i * (jnp.cos(th0 + sig_i * l) - jnp.cos(th0)))
+        th0 = th0 + sig_i * l
+    seg_start_poses = jnp.stack(seg_starts)            # (N_SEG, 3)
 
     step_n = step_m * maxc  # normalized step
     s = jnp.arange(n_points) * step_n
@@ -374,11 +373,17 @@ def sample_path(lengths, steers, start, maxc, n_points, step_m):
     live_cnt = jnp.sum(mask)
     s = jnp.where(jnp.arange(n_points) == live_cnt - 1, total, s)
 
-    seg_idx = jnp.clip(jnp.searchsorted(cum, s, side="right"), 0, N_SEG - 1)
-    base = seg_start_poses[seg_idx]                    # (N, 3)
-    l_seg = lengths[seg_idx]
-    sig = steers[seg_idx]
-    p = jnp.clip(s - starts_cum[seg_idx], 0.0, None)
+    # segment lookup as compare-sum + one-hot contraction instead of
+    # searchsorted + gathers: gathers serialize badly on TPU under vmap,
+    # while these (N, N_SEG) contractions fuse on the VPU
+    seg_idx = jnp.clip(
+        jnp.sum(cum[None, :] <= s[:, None], axis=1), 0, N_SEG - 1
+    )
+    onehot = (seg_idx[:, None] == jnp.arange(N_SEG)[None, :]).astype(s.dtype)
+    base = onehot @ seg_start_poses                    # (N, 3)
+    l_seg = onehot @ lengths
+    sig = onehot @ steers
+    p = jnp.clip(s - onehot @ starts_cum, 0.0, None)
     ps = jnp.sign(l_seg) * p                           # signed arc progress
 
     th0 = base[:, 2]

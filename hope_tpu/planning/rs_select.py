@@ -66,50 +66,123 @@ def find_path(
     bounds,
     n_points: int = 288,
     step_m: float = 0.1,
-    max_tries: int = 12,
+    max_tries: int = 6,
 ) -> RSPath:
     """Shortest collision-free RS path for one scenario.
 
-    Selection semantics mirror find_rs_path: candidates tried in ascending
-    length; give up on candidates with L > 1.6 x shortest once 3 have been
-    tried; ``max_tries`` bounds the cascade (the reference loop is unbounded
-    but in practice terminates within a few pops).
+    Selection semantics mirror find_rs_path: candidates considered in
+    ascending length; candidates with L > 1.6 x shortest are only eligible
+    among the first 3 (the reference's give-up rule, :441-444); the first
+    (shortest) collision-free eligible candidate wins.
+
+    Unlike the reference's sequential heapdict pops — and this module's
+    earlier argmin cascade — the ``max_tries`` shortest words are swept and
+    collision-checked IN PARALLEL (one fused kernel instead of K dependent
+    rounds), then the winner falls out of a single argmax over the sorted
+    validity mask.  Identical result whenever the reference terminates within
+    ``max_tries`` pops, which it practically always does (it gives up after 3
+    tries unless candidates stay within 1.6 x L_min).
     """
     cand = rs.candidates(start, goal, maxc)
     L_m = cand.L / maxc                                # (46,) inf where invalid
-    L_min = jnp.min(L_m)
 
-    def body(carry, idx):
-        tried, found, best = carry
-        masked = jnp.where(tried, jnp.inf, L_m)
-        pick = jnp.argmin(masked)
-        pick_L = masked[pick]
-        # early-exit rule (reference :441-444): after 3 tries, stop on long paths
-        give_up = (pick_L > 1.6 * L_min) & (idx >= 3)
-        do_try = jnp.isfinite(pick_L) & ~found & ~give_up
+    # top-K shortest candidates, ascending
+    neg, idxs = jax.lax.top_k(-L_m, max_tries)
+    Ls = -neg                                          # (K,) ascending lengths
+    lengths = cand.lengths[idxs]                       # (K, 5) scaled
+    steers = cand.steers[idxs]                         # (K, 5)
 
-        poses, mask, _ = rs.sample_path(
-            cand.lengths[pick], cand.steers[pick], start, maxc, n_points, step_m
-        )
-        collide = traj_collides(poses, mask, corners, edges, edge_mask, bounds)
-        ok = do_try & ~collide
+    poses, mask, _ = jax.vmap(
+        lambda l, s: rs.sample_path(l, s, start, maxc, n_points, step_m)
+    )(lengths, steers)
+    collide = jax.vmap(
+        lambda p, m: traj_collides(p, m, corners, edges, edge_mask, bounds)
+    )(poses, mask)
 
-        new_best = RSPath(
-            found=found | ok,
-            lengths=jnp.where(ok & ~found, cand.lengths[pick] / maxc, best.lengths),
-            steers=jnp.where(ok & ~found, cand.steers[pick], best.steers),
-            L=jnp.where(ok & ~found, pick_L, best.L),
-        )
-        tried = tried.at[pick].set(tried[pick] | do_try | give_up)
-        return (tried, new_best.found, new_best), None
-
-    init = (
-        jnp.zeros(rs.N_WORDS, bool),
-        jnp.asarray(False),
-        RSPath(jnp.asarray(False), jnp.zeros(5), jnp.zeros(5), jnp.asarray(jnp.inf)),
+    rank = jnp.arange(max_tries)
+    eligible = jnp.isfinite(Ls) & ((rank < 3) | (Ls <= 1.6 * Ls[0]))
+    ok = eligible & ~collide
+    found = jnp.any(ok)
+    pick = jnp.argmax(ok)                              # first ok = shortest
+    return RSPath(
+        found=found,
+        lengths=jnp.where(found, lengths[pick] / maxc, jnp.zeros(5)),
+        steers=jnp.where(found, steers[pick], jnp.zeros(5)),
+        L=jnp.where(found, Ls[pick], jnp.inf),
     )
-    (_, _, best), _ = jax.lax.scan(body, init, jnp.arange(max_tries))
-    return best
+
+
+def find_path_batch(
+    starts,
+    goals,
+    maxc,
+    corners,
+    edges,
+    edge_masks,
+    bounds,
+    n_points: int = 288,
+    step_m: float = 0.1,
+    max_tries: int = 6,
+    use_pallas: bool = False,
+) -> RSPath:
+    """Batched :func:`find_path`: (B,) scenarios at once.
+
+    Same selection semantics; the swept-trajectory collision test runs through
+    the Pallas kernel (``ops.swept_collide``) when ``use_pallas`` — the whole
+    (B, K, 4N, E) sweep stays in VMEM instead of round-tripping HBM.
+    """
+    K = max_tries
+    cand = jax.vmap(lambda s, g: rs.candidates(s, g, maxc))(starts, goals)
+    L_m = cand.L / maxc                                   # (B, 46)
+    neg, idxs = jax.lax.top_k(-L_m, K)
+    Ls = -neg                                             # (B, K) ascending
+    lengths = jnp.take_along_axis(cand.lengths, idxs[:, :, None], axis=1)
+    steers = jnp.take_along_axis(cand.steers, idxs[:, :, None], axis=1)
+
+    def sample_env(ls, ss, start):
+        return jax.vmap(
+            lambda l, s: rs.sample_path(l, s, start, maxc, n_points, step_m)
+        )(ls, ss)
+
+    poses, mask, _ = jax.vmap(sample_env)(lengths, steers, starts)  # (B,K,N,·)
+
+    if use_pallas:
+        from ..ops.sweep_collide import swept_collide
+
+        out = (
+            (poses[..., 0] < bounds[:, None, None, 0])
+            | (poses[..., 0] > bounds[:, None, None, 1])
+            | (poses[..., 1] < bounds[:, None, None, 2])
+            | (poses[..., 1] > bounds[:, None, None, 3])
+        )
+        outbound = jnp.any(out & mask, axis=-1)           # (B, K)
+        boxes = pose_to_box(poses, corners)               # (B, K, N, 4, 2)
+        B, _, N = poses.shape[:3]
+        car_edges = box_to_edges(boxes).reshape(B, K, N * 4, 4)
+        live4 = jnp.repeat(mask, 4, axis=-1)
+        collide = swept_collide(car_edges, live4, edges, edge_masks) | outbound
+    else:
+        collide = jax.vmap(
+            lambda ps, ms, e, em, b: jax.vmap(
+                lambda p, m: traj_collides(p, m, corners, e, em, b)
+            )(ps, ms)
+        )(poses, mask, edges, edge_masks, bounds)
+
+    rank = jnp.arange(K)[None, :]
+    eligible = jnp.isfinite(Ls) & ((rank < 3) | (Ls <= 1.6 * Ls[:, :1]))
+    ok = eligible & ~collide
+    found = jnp.any(ok, axis=1)
+    pick = jnp.argmax(ok, axis=1)
+    take = lambda a: jnp.take_along_axis(  # noqa: E731
+        a, pick[:, None, None] if a.ndim == 3 else pick[:, None], axis=1
+    ).squeeze(1)
+    f = found[:, None]
+    return RSPath(
+        found=found,
+        lengths=jnp.where(f, take(lengths) / maxc, 0.0),
+        steers=jnp.where(f, take(steers), 0.0),
+        L=jnp.where(found, take(Ls), jnp.inf),
+    )
 
 
 def build_action_queue(path: RSPath, step_ratio: float, queue_len: int = 32):
