@@ -29,8 +29,9 @@ class DLPDataset:
     """Holds the full case bank as device arrays; 248 cases."""
 
     def __init__(self, path: str = _DEFAULT_PATH, env_cfg: EnvConfig | None = None,
-                 vcfg: VehicleConfig = VehicleConfig(), classify: bool = True):
-        raw = np.load(path)
+                 vcfg: VehicleConfig = VehicleConfig(), classify: bool = True,
+                 native: bool = True):
+        raw = self._load(path, native)
         self.env_cfg = env_cfg or EnvConfig(max_edges=512, max_obstacles=128)
         self.vcfg = vcfg
         self.n_cases = len(raw["n_polys"])
@@ -57,6 +58,33 @@ class DLPDataset:
         else:
             levels = np.full(self.starts.shape[:2], LEVEL_DLP, np.int32)
         self.level_table = jnp.asarray(levels, jnp.int32)  # (C, S)
+
+    @staticmethod
+    def _load(path: str, native: bool):
+        """Load the case bank, preferring the native mmap'd HTPB1 runtime
+        (hope_tpu.native.SceneBank) over the npz; the flat bank is converted
+        from the npz once and cached next to it."""
+        if native and path.endswith(".npz"):
+            from ..native import SceneBank, convert_npz_to_bank, load_library
+
+            if load_library() is not None:
+                bank_path = path[:-4] + ".htpb"
+                try:
+                    if (not os.path.exists(bank_path)
+                            or os.path.getmtime(bank_path) < os.path.getmtime(path)):
+                        convert_npz_to_bank(path, bank_path)
+                    bank = SceneBank(bank_path)
+                    out = bank.gather(np.arange(bank.n_cases))
+                    bank.close()
+                    out["edge_mask"] = out["edge_mask"].astype(bool)
+
+                    class _Raw(dict):
+                        files = list(out.keys())
+
+                    return _Raw(out)
+                except OSError:
+                    pass
+        return np.load(path)
 
     def _flip_pose(self, pose):
         """Mirror a pose through its own box centre and turn it around
