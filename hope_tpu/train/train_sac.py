@@ -121,6 +121,9 @@ def main(argv=None):
     ap.add_argument("--log-dir", type=str, default="log/sac")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--profile-waves", type=int, default=0,
+                    help="capture a jax.profiler trace of waves 5..5+N")
+    ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
 
     if args.smoke:
@@ -180,8 +183,11 @@ def main(argv=None):
     train_step = build_trainer(env, agent, env_cfg.step_ratio,
                                args.updates_per_step, args.sgd_batch)
 
+    from ..utils.profiling import MetricsWriter, StepTimer
+
     os.makedirs(args.log_dir, exist_ok=True)
-    metrics_log = open(os.path.join(args.log_dir, "metrics.jsonl"), "a")
+    writer = MetricsWriter(args.log_dir, tensorboard=not args.no_tensorboard)
+    timer = StepTimer(unit="env-steps")
 
     episodes_done = 0
     total_steps = 0
@@ -191,6 +197,10 @@ def main(argv=None):
 
     while episodes_done < args.episodes:
         wave += 1
+        if args.profile_waves and wave == 5:
+            jax.profiler.start_trace(os.path.join(args.log_dir, "trace"))
+        if args.profile_waves and wave == 5 + args.profile_waves:
+            jax.profiler.stop_trace()
         warmup = total_steps < args.warmup_steps * B
         do_update = not warmup
         key, k = jax.random.split(key)
@@ -198,6 +208,7 @@ def main(argv=None):
          metrics) = train_step(sac_state, env_state, hybrid, obs, replay, k,
                                warmup=warmup, do_update=do_update)
         total_steps += B
+        timer.tick(B)
 
         done_np = np.asarray(done)
         if done_np.any():
@@ -247,9 +258,13 @@ def main(argv=None):
             if metrics:
                 line["actor_loss"] = float(metrics["actor_loss"])
                 line["critic_loss"] = float(metrics["critic_loss"])
+            rate = timer.report()
+            if rate and rate["unit_per_sec"]:
+                line["env_steps_per_sec"] = round(rate["unit_per_sec"], 1)
             print(json.dumps(line), flush=True)
-            metrics_log.write(json.dumps(line) + "\n")
-            metrics_log.flush()
+            flat = {k: v for k, v in line.items() if isinstance(v, (int, float))}
+            flat.update({f"success/{k}": v for k, v in line["success"].items()})
+            writer.write(wave, flat)
 
         if args.save_every and wave % args.save_every == 0:
             save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, wave)
