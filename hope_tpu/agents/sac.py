@@ -67,7 +67,10 @@ class SACAgent:
         critic1 = self.critic_net.init(k2, obs, act)
         critic2 = self.critic_net.init(k3, obs, act)
         log_std = jnp.zeros((1, self.cfg.action_dim))  # exp(0)=1 (ref :95-99)
-        log_alpha = jnp.asarray(math.log(self.cfg.initial_temperature))
+        # explicit dtype: a weak-typed scalar here flips strong after one pass
+        # through jit, changing the input aval and forcing a full recompile of
+        # every step function it feeds (~100 s each over the remote tunnel)
+        log_alpha = jnp.asarray(math.log(self.cfg.initial_temperature), jnp.float32)
         return SACState(
             actor=actor, log_std=log_std,
             critic1=critic1, critic2=critic2,

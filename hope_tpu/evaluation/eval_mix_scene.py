@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--max-steps", type=int, default=200)
     ap.add_argument("--out", type=str, default="log/eval")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--visualize", type=int, default=0,
+                    help="render the first N episodes per level as PNGs")
     args = ap.parse_args(argv)
 
     from ..utils.cache import enable_persistent_cache
@@ -66,7 +68,8 @@ def main(argv=None):
         policy_act = lambda obs, k: agent.get_action(state, obs, k)  # noqa: E731
     policy_logp = lambda obs, a: agent.log_prob(state, obs, a)  # noqa: E731
 
-    run = build_episode_runner(env, policy_act, policy_logp, args.max_steps)
+    run = build_episode_runner(env, policy_act, policy_logp, args.max_steps,
+                               record_traj=args.visualize > 0)
     os.makedirs(args.out, exist_ok=True)
     key = jax.random.PRNGKey(args.seed + 7)
 
@@ -86,9 +89,29 @@ def main(argv=None):
             scenes, ok = generate_bank(k1, level=level, n=args.episodes)
             scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
         metrics = run(scenes, k2)
-        summary = summarize(jax.tree.map(np.asarray, metrics))
+        metrics_np = jax.tree.map(np.asarray, metrics)
+        summary = summarize(metrics_np)
         results[level] = summary
         write_report(os.path.join(args.out, f"result_{level}.json"), summary)
+
+        from .render import save_episode_png, save_record, save_success_cdf
+
+        save_record(os.path.join(args.out, f"record_{level}.npz"),
+                    {k: v for k, v in metrics_np.items() if k != "poses"})
+        save_success_cdf(os.path.join(args.out, f"success_cdf_{level}.png"),
+                         metrics_np["steps"], metrics_np["success"],
+                         args.max_steps)
+        if args.visualize:
+            corners = env.corners
+            for i in range(min(args.visualize, args.episodes)):
+                scene_i = jax.tree.map(lambda x: np.asarray(x)[i], scenes)
+                n_steps = int(metrics_np["steps"][i])
+                save_episode_png(
+                    os.path.join(args.out, f"episode_{level}_{i}.png"),
+                    scene_i, metrics_np["poses"][: max(n_steps, 1), i], corners,
+                    title=f"{level} #{i}: "
+                          f"{'success' if metrics_np['success'][i] else 'fail'}"
+                          f" in {n_steps} steps")
         print(json.dumps({level: summary["success_rate"],
                           "steps": summary["success_steps_mean"]}), flush=True)
 

@@ -21,11 +21,13 @@ from ..envs.scene import LEVEL_NAMES, Scene
 
 
 def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
-                         max_steps: int = 200, use_rs: bool = True):
+                         max_steps: int = 200, use_rs: bool = True,
+                         record_traj: bool = False):
     """policy_act(obs, key) -> (action, logp); policy_logp(obs, action) -> logp.
 
     Returns a jitted function: scenes -> metrics dict with per-env success,
-    steps, path_length, final status.
+    steps, path_length, final status (+ "poses" (T, B, 3) when
+    ``record_traj`` — for human rendering via evaluation.render).
     """
 
     @jax.jit
@@ -69,14 +71,16 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
                     finished.reshape((B,) + (1,) * (x.ndim - 1)), x, y), a, b)
             state = sel(state, new_state)
             obs = sel(obs, new_obs)
+            out = state.vehicle.pose if record_traj else None
             return (state, obs, hybrid, finished, steps, path_len, status,
-                    obs["target"]), None
+                    obs["target"]), out
 
         init = (state, obs, hybrid, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
                 jnp.zeros(B), jnp.full(B, -1, jnp.int32), obs["target"])
-        (state, obs, hybrid, finished, steps, path_len, status, _), _ = jax.lax.scan(
+        (state, obs, hybrid, finished, steps, path_len, status, _), poses = jax.lax.scan(
             step_fn, init, jax.random.split(key, max_steps))
-        return {
+        extra = {"poses": poses} if record_traj else {}
+        return extra | {
             "success": status == ARRIVED,
             "steps": steps,
             "path_length": path_len,

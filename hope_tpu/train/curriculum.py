@@ -31,6 +31,29 @@ class SceneChoose:
     def choose_batch(self, n: int) -> np.ndarray:
         return np.array([self.choose_case() for _ in range(n)])
 
+    def sample_levels(self, n: int) -> np.ndarray:
+        """Draw n levels for a reset queue WITHOUT recording them as started
+        episodes (queue entries may never be consumed — the chunked trainer
+        records an episode only when its done-log confirms it ran)."""
+        rec = list(self.scene_record)
+        out = np.empty(n, np.int64)
+        for i in range(n):
+            if len(rec) < self.history_horizon or self.rng.random() <= 0.5:
+                counts = np.zeros(len(LEVELS))
+                for s in rec[-self.history_horizon:]:
+                    counts[s] += 1
+                c = int(np.argmin(counts))
+            else:
+                c = self._worst()
+            rec.append(c)
+            out[i] = c
+        return out
+
+    def record_episode(self, level: int, success: int):
+        """Log one completed episode (chunked-trainer path)."""
+        self.scene_record.append(int(level))
+        self.success_record[int(level)].append(int(success))
+
     def update_success_record(self, success: int, scene_id: int | None = None):
         sid = self.scene_record[-1] if scene_id is None else scene_id
         self.success_record[sid].append(int(success))

@@ -1,7 +1,7 @@
-"""PPO training driver (reference train/train_HOPE_ppo.py): lockstep batched
-on-policy collection with masked discrete action projection + hybrid RS
-takeover; the buffer update fires when T x B transitions fill it
-(reference :199-204).
+"""PPO training driver (reference train/train_HOPE_ppo.py): one device call
+collects T lockstep steps with masked discrete action projection + hybrid RS
+takeover AND runs the full-buffer PPO update (the reference's buffer-full
+trigger, :199-204, becomes the chunk boundary).
 
 Usage: python -m hope_tpu.train.train_ppo --episodes 2000 --batch-envs 64
        python -m hope_tpu.train.train_ppo --smoke
@@ -12,58 +12,19 @@ import argparse
 import json
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..agents import (
-    HybridState,
-    PPOAgent,
-    hybrid_act,
-    hybrid_reset_done,
-    latch,
-    normalize,
-    norm_update,
-)
+from ..agents import HybridState, PPOAgent
 from ..config import EnvConfig, ObsConfig, PPOConfig, actor_net_config, critic_net_config
-from ..envs import ARRIVED, ParkingEnv
+from ..envs import ParkingEnv
 from ..utils.checkpoint import save_checkpoint
-from .curriculum import LEVELS, DlpCaseChoose, SceneChoose
+from .chunked import build_ppo_chunk, summarize_logs
+from .curriculum import LEVELS, TARGET_SUCCESS, DlpCaseChoose, SceneChoose
 from .scene_pool import ScenePool
-
-
-def build_collector(env: ParkingEnv, agent: PPOAgent, step_ratio: float):
-    @jax.jit
-    def collect_step(ppo_state, env_state, hybrid, obs, key):
-        k_act = key
-        B = obs["target"].shape[0]
-        policy_action, policy_logp = agent.choose_action(ppo_state, obs, k_act)
-        queued = hybrid.queue[jnp.arange(B), jnp.clip(hybrid.cursor, 0, hybrid.queue.shape[1] - 1)]
-        queued_logp = agent.log_prob(ppo_state, obs, queued)
-        action, logp, hybrid = hybrid_act(hybrid, policy_action, policy_logp, queued_logp)
-
-        env_state, next_obs, reward, done, info = env.batch_step(
-            env_state, env.rescale_action(action))
-
-        obs_n = normalize(obs, ppo_state.norm)
-        new_norm = norm_update(ppo_state.norm, next_obs)
-        ppo_state = ppo_state.replace(norm=new_norm)
-        next_obs_n = normalize(next_obs, new_norm)
-
-        hybrid = latch(hybrid, info["rs"], step_ratio)
-        hybrid = hybrid_reset_done(hybrid, done)
-
-        transition = {"action": action, "reward": reward, "done": done,
-                      "log_prob": logp}
-        for k, v in obs_n.items():
-            transition[f"obs/{k}"] = v
-        for k, v in next_obs_n.items():
-            transition[f"next_obs/{k}"] = v
-        return ppo_state, env_state, hybrid, next_obs, done, reward, info, transition
-
-    return collect_step
+from .train_sac import ResetQueueSampler
 
 
 def main(argv=None):
@@ -71,15 +32,18 @@ def main(argv=None):
     ap.add_argument("--episodes", type=int, default=100000)
     ap.add_argument("--batch-envs", type=int, default=64)
     ap.add_argument("--buffer-steps", type=int, default=128,
-                    help="T steps per update wave (buffer = T x B)")
+                    help="T steps per update chunk (buffer = T x B)")
     ap.add_argument("--pool-per-level", type=int, default=256)
-    ap.add_argument("--pool-refresh", type=int, default=200)
+    ap.add_argument("--pool-refresh", type=int, default=10,
+                    help="refresh the scene pool every N chunks")
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
     ap.add_argument("--save-every", type=int, default=20)
     ap.add_argument("--log-dir", type=str, default="log/ppo")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--max-seconds", type=float, default=0.0)
+    ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
 
     if args.smoke:
@@ -110,84 +74,89 @@ def main(argv=None):
     pool = ScenePool(env_cfg, per_level=args.pool_per_level, include_dlp=not args.no_dlp)
     scene_chooser = SceneChoose(rng=np.random.default_rng(args.seed))
     dlp_chooser = DlpCaseChoose(rng=np.random.default_rng(args.seed + 1))
+    rng = np.random.default_rng(args.seed + 2)
+    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng)
 
     B = args.batch_envs
-    n_levels = pool.n_levels
-    rng = np.random.default_rng(args.seed + 2)
-    env_levels = scene_chooser.choose_batch(B) % n_levels
-    slots = rng.integers(0, args.pool_per_level, B)
-    scenes = pool.gather(pool.flat_index(env_levels, slots))
+    T = args.buffer_steps
+    R = B * T
+
+    start_idx = queue_sampler.sample(B)
+    pool_idx = jnp.asarray(start_idx, jnp.int32)
+    scenes = pool.gather(start_idx)
     env_state, obs = env.batch_reset(scenes)
     hybrid = HybridState.create(B, env_cfg.rs_queue_len)
 
-    collect = build_collector(env, agent, env_cfg.step_ratio)
+    chunk_fn = build_ppo_chunk(env, agent, env_cfg.step_ratio, T)
+
+    from ..utils.profiling import MetricsWriter, StepTimer
 
     os.makedirs(args.log_dir, exist_ok=True)
+    writer = MetricsWriter(args.log_dir, tensorboard=not args.no_tensorboard)
+    timer = StepTimer(unit="env-steps")
+
     episodes_done = 0
     total_steps = 0
-    wave = 0
-    reward_hist = []
+    n_chunk = 0
+    reward_hist: list[float] = []
+    best_success = np.zeros(len(LEVELS))
     t_start = time.time()
 
     while episodes_done < args.episodes:
-        wave += 1
-        transitions = []
-        for _ in range(args.buffer_steps):
-            key, k = jax.random.split(key)
-            (ppo_state, env_state, hybrid, obs, done, reward, info,
-             tr) = collect(ppo_state, env_state, hybrid, obs, k)
-            transitions.append(tr)
-            total_steps += B
-            reward_hist.append(float(jnp.mean(reward)))
-
-            done_np = np.asarray(done)
-            if done_np.any():
-                statuses = np.asarray(info["status"])
-                idx = np.nonzero(done_np)[0]
-                for i in idx:
-                    success = int(statuses[i] == ARRIVED)
-                    scene_chooser.update_success_record(success, int(env_levels[i]))
-                    if LEVELS[env_levels[i]] == "dlp" and pool.dlp_case_ids is not None:
-                        dlp_chooser.update_success_record(
-                            success, int(pool.dlp_case_ids[slots[i]]))
-                episodes_done += len(idx)
-                new_levels = np.array([scene_chooser.choose_case() % n_levels for _ in idx])
-                new_slots = rng.integers(0, args.pool_per_level, len(idx))
-                env_levels[idx] = new_levels
-                slots[idx] = new_slots
-                fresh = pool.gather(pool.flat_index(new_levels, new_slots))
-                f_state, f_obs = env.batch_reset(fresh)
-                idx_map = np.zeros(B, np.int32)
-                idx_map[idx] = np.arange(len(idx))
-                expand = lambda t: jax.tree.map(lambda x: x[jnp.asarray(idx_map)], t)  # noqa: E731
-                done_dev = jnp.asarray(done_np)
-                env_state = ParkingEnv.reset_where(env_state, expand(f_state), done_dev)
-                obs = jax.tree.map(
-                    lambda a, b: jnp.where(
-                        done_dev.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
-                    expand(f_obs), obs)
-
-        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *transitions)  # (T, B, ...)
+        if args.max_seconds and time.time() - t_start > args.max_seconds:
+            break
+        n_chunk += 1
+        reset_queue = jnp.asarray(queue_sampler.sample(R), jnp.int32)
         key, k = jax.random.split(key)
-        ppo_state, metrics = agent.update(ppo_state, batch, k)
+        (ppo_state, env_state, hybrid, obs, pool_idx, logs,
+         metrics) = chunk_fn(ppo_state, env_state, hybrid, obs, pool_idx,
+                             pool.pool, reset_queue, k)
+        total_steps += B * T
+        timer.tick(B * T)
+
+        summary = summarize_logs(logs)
+        for flat_idx, success in summary["ends"]:
+            level = flat_idx // args.pool_per_level
+            scene_chooser.record_episode(level, success)
+            if LEVELS[level] == "dlp" and pool.dlp_case_ids is not None:
+                slot = flat_idx % args.pool_per_level
+                dlp_chooser.update_success_record(success, int(pool.dlp_case_ids[slot]))
+        episodes_done += summary["episodes"]
+        reward_hist.append(summary["reward_mean"])
+
+        if n_chunk % args.pool_refresh == 0:
+            dlp_ids = None if args.no_dlp else np.array(
+                [dlp_chooser.choose_case() for _ in range(args.pool_per_level)])
+            pool.refresh(dlp_case_ids=dlp_ids)
 
         sr = scene_chooser.recent_success()
         line = {
-            "wave": wave, "episodes": episodes_done, "steps": total_steps,
-            "reward": float(np.mean(reward_hist[-200:])),
-            "success": {LEVELS[i]: float(sr[i]) for i in range(4)},
-            "actor_loss": float(metrics["actor_loss"]),
-            "critic_loss": float(metrics["critic_loss"]),
-            "elapsed": time.time() - t_start,
+            "chunk": n_chunk, "episodes": episodes_done, "steps": total_steps,
+            "reward": float(np.mean(reward_hist[-10:])),
+            "success": {LEVELS[i]: round(float(sr[i]), 3) for i in range(4)},
+            "actor_loss": round(float(metrics["actor_loss"]), 4),
+            "critic_loss": round(float(metrics["critic_loss"]), 4),
+            "elapsed": round(time.time() - t_start, 1),
         }
+        rate = timer.report()
+        if rate and rate["unit_per_sec"]:
+            line["env_steps_per_sec"] = round(rate["unit_per_sec"], 1)
         print(json.dumps(line), flush=True)
+        flat = {k: v for k, v in line.items() if isinstance(v, (int, float))}
+        flat.update({f"success/{k}": v for k, v in line["success"].items()})
+        writer.write(n_chunk, flat)
 
-        if wave % args.pool_refresh == 0:
-            pool.refresh()
-        if args.save_every and wave % args.save_every == 0:
-            save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, wave)
+        capped = np.minimum(sr, TARGET_SUCCESS)
+        if episodes_done > 100 and np.all(capped >= best_success) and np.any(
+                capped > best_success):
+            best_success = capped
+            save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
+                            ppo_state, n_chunk)
 
-    save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, wave)
+        if args.save_every and n_chunk % args.save_every == 0:
+            save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, n_chunk)
+
+    save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, n_chunk)
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 

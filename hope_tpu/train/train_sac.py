@@ -1,11 +1,14 @@
-"""SAC training driver: lockstep batched rollouts + hybrid RS takeover +
-curriculum (TPU-native redesign of reference train/train_HOPE_sac.py).
+"""SAC training driver: fully-jitted chunks of lockstep batched rollouts +
+hybrid RS takeover + curriculum (TPU-native redesign of reference
+train/train_HOPE_sac.py).
 
-The reference steps ONE env and updates every 10 env steps; here B envs step in
-lockstep per device call, so the data:update ratio is kept comparable via
-``updates_per_step`` (B transitions/step at batch_size ~ B/10 x 32 equivalent).
+The reference steps ONE env and updates every 10 env steps; here B envs step
+in lockstep and one device call runs a whole K-step chunk (collect + resets +
+updates — see ``chunked.py``), so the remote-dispatch cost is paid once per
+K x B env steps.  The data:update ratio stays comparable via
+``updates_per_step`` (U = K x updates_per_step SGD steps per chunk).
 
-Usage: python -m hope_tpu.train.train_sac --episodes 2000 --batch-envs 256
+Usage: python -m hope_tpu.train.train_sac --episodes 20000 --batch-envs 256
        python -m hope_tpu.train.train_sac --smoke     (tiny smoke run)
 """
 from __future__ import annotations
@@ -14,7 +17,6 @@ import argparse
 import json
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,110 +28,66 @@ from ..config import (
     actor_net_config,
     critic_net_config,
 )
-from ..agents import (
-    HybridState,
-    SACAgent,
-    hybrid_act,
-    hybrid_reset_done,
-    latch,
-    normalize,
-    norm_update,
-    push_batch,
-    replay_create,
-    replay_sample,
-)
-from ..envs import ARRIVED, ParkingEnv
+from ..agents import HybridState, SACAgent, replay_create
+from ..envs import ParkingEnv
 from ..utils.checkpoint import save_checkpoint
-from .curriculum import LEVELS, DlpCaseChoose, SceneChoose
+from .chunked import build_sac_chunk, summarize_logs
+from .curriculum import LEVELS, TARGET_SUCCESS, DlpCaseChoose, SceneChoose
 from .scene_pool import ScenePool
 
 
-def build_trainer(env: ParkingEnv, agent: SACAgent, step_ratio: float,
-                  updates_per_step: int, sgd_batch: int):
-    """Returns one jitted collect(+update) step over the whole env batch."""
+class ResetQueueSampler:
+    """Fills each chunk's reset queue from the curriculum choosers."""
 
-    @partial(jax.jit, static_argnames=("warmup", "do_update"))
-    def train_step(sac_state, env_state, hybrid, obs, replay, key,
-                   warmup: bool, do_update: bool):
-        k_act, k_rand, k_upd = jax.random.split(key, 3)
-        B = obs["target"].shape[0]
+    def __init__(self, scene_chooser: SceneChoose, pool: ScenePool, rng,
+                 fill: int = 128):
+        self.scene_chooser = scene_chooser
+        self.pool = pool
+        self.rng = rng
+        self.fill = fill
 
-        if warmup:
-            policy_action = jax.random.uniform(k_rand, (B, 2), minval=-1.0, maxval=1.0)
-            policy_logp = agent.log_prob(sac_state, obs, policy_action)
-        else:
-            policy_action, policy_logp = agent.get_action(sac_state, obs, k_act)
-
-        queued = hybrid.queue[jnp.arange(B), jnp.clip(hybrid.cursor, 0, hybrid.queue.shape[1] - 1)]
-        queued_logp = agent.log_prob(sac_state, obs, queued)
-        action, logp, hybrid = hybrid_act(hybrid, policy_action, policy_logp, queued_logp)
-
-        phys = env.rescale_action(action)
-        env_state, next_obs, reward, done, info = env.batch_step(env_state, phys)
-
-        # normalized push (reference push_memory: obs with current stats,
-        # stats updated on next_obs — sac_agent.py:209-219)
-        obs_n = normalize(obs, sac_state.norm)
-        new_norm = norm_update(sac_state.norm, next_obs)
-        sac_state = sac_state.replace(norm=new_norm)
-        next_obs_n = normalize(next_obs, new_norm)
-        batch = {}
-        for k, v in obs_n.items():
-            batch[f"obs/{k}"] = v
-        for k, v in next_obs_n.items():
-            batch[f"next_obs/{k}"] = v
-        batch["action"] = action
-        batch["reward"] = reward
-        batch["done"] = done
-        batch["log_prob"] = logp
-        replay = push_batch(replay, batch)
-
-        hybrid = latch(hybrid, info["rs"], step_ratio)
-        hybrid = hybrid_reset_done(hybrid, done)
-
-        metrics = {}
-        if do_update:
-            def upd(carry, k):
-                st = carry
-                mb = replay_sample(replay, k, sgd_batch)
-                st, m = agent.update(st, mb, jax.random.fold_in(k, 1))
-                return st, m
-
-            sac_state, ms = jax.lax.scan(
-                upd, sac_state, jax.random.split(k_upd, updates_per_step)
-            )
-            metrics = jax.tree.map(lambda x: x[-1], ms)
-
-        return sac_state, env_state, hybrid, next_obs, replay, done, reward, info, metrics
-
-    return train_step
+    def sample(self, size: int) -> np.ndarray:
+        m = min(self.fill, size)
+        levels = self.scene_chooser.sample_levels(m) % self.pool.n_levels
+        slots = self.rng.integers(0, self.pool.per_level, m)
+        flat = self.pool.flat_index(levels, slots)
+        reps = int(np.ceil(size / m))
+        return np.tile(flat, reps)[:size].astype(np.int32)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=100000)
     ap.add_argument("--batch-envs", type=int, default=256)
-    ap.add_argument("--warmup-steps", type=int, default=40)
+    ap.add_argument("--chunk-steps", type=int, default=16,
+                    help="env steps per device call")
+    ap.add_argument("--warmup-chunks", type=int, default=3,
+                    help="random-action chunks before updates start")
     ap.add_argument("--updates-per-step", type=int, default=4)
     ap.add_argument("--sgd-batch", type=int, default=256)
     ap.add_argument("--memory", type=int, default=100_000)
     ap.add_argument("--pool-per-level", type=int, default=256)
-    ap.add_argument("--pool-refresh", type=int, default=200, help="refresh pool every N waves")
+    ap.add_argument("--pool-refresh", type=int, default=50,
+                    help="refresh the scene pool every N chunks")
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
-    ap.add_argument("--save-every", type=int, default=2000)
+    ap.add_argument("--save-every", type=int, default=200,
+                    help="checkpoint every N chunks")
     ap.add_argument("--log-dir", type=str, default="log/sac")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--profile-waves", type=int, default=0,
-                    help="capture a jax.profiler trace of waves 5..5+N")
+    ap.add_argument("--max-seconds", type=float, default=0.0,
+                    help="stop after this much wall-clock time (0 = never)")
+    ap.add_argument("--profile-chunks", type=int, default=0,
+                    help="capture a jax.profiler trace of chunks 5..5+N")
     ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
 
     if args.smoke:
         args.episodes = 8
         args.batch_envs = 4
-        args.warmup_steps = 2
+        args.chunk_steps = 4
+        args.warmup_chunks = 1
         args.updates_per_step = 1
         args.sgd_batch = 8
         args.memory = 512
@@ -158,14 +116,16 @@ def main(argv=None):
     pool = ScenePool(env_cfg, per_level=args.pool_per_level, include_dlp=not args.no_dlp)
     scene_chooser = SceneChoose(rng=np.random.default_rng(args.seed))
     dlp_chooser = DlpCaseChoose(rng=np.random.default_rng(args.seed + 1))
+    rng = np.random.default_rng(args.seed + 2)
+    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng)
 
     B = args.batch_envs
-    n_levels = pool.n_levels
-    rng = np.random.default_rng(args.seed + 2)
-    level_ids = scene_chooser.choose_batch(B) % n_levels
-    env_levels = level_ids.copy()
-    slots = rng.integers(0, args.pool_per_level, B)
-    scenes = pool.gather(pool.flat_index(level_ids, slots))
+    K = args.chunk_steps
+    R = B * K  # worst-case resets per chunk
+
+    start_idx = queue_sampler.sample(B)
+    pool_idx = jnp.asarray(start_idx, jnp.int32)
+    scenes = pool.gather(start_idx)
     env_state, obs = env.batch_reset(scenes)
     hybrid = HybridState.create(B, env_cfg.rs_queue_len)
 
@@ -180,8 +140,8 @@ def main(argv=None):
     transition["log_prob"] = jnp.zeros(())
     replay = replay_create(args.memory, transition)
 
-    train_step = build_trainer(env, agent, env_cfg.step_ratio,
-                               args.updates_per_step, args.sgd_batch)
+    chunk_fn = build_sac_chunk(env, agent, env_cfg.step_ratio, K,
+                               K * args.updates_per_step, args.sgd_batch)
 
     from ..utils.profiling import MetricsWriter, StepTimer
 
@@ -191,85 +151,81 @@ def main(argv=None):
 
     episodes_done = 0
     total_steps = 0
-    wave = 0
+    n_chunk = 0
     reward_hist: list[float] = []
+    best_success = np.zeros(len(LEVELS))
     t_start = time.time()
 
     while episodes_done < args.episodes:
-        wave += 1
-        if args.profile_waves and wave == 5:
+        if args.max_seconds and time.time() - t_start > args.max_seconds:
+            break
+        n_chunk += 1
+        if args.profile_chunks and n_chunk == 5:
             jax.profiler.start_trace(os.path.join(args.log_dir, "trace"))
-        if args.profile_waves and wave == 5 + args.profile_waves:
+        if args.profile_chunks and n_chunk == 5 + args.profile_chunks:
             jax.profiler.stop_trace()
-        warmup = total_steps < args.warmup_steps * B
-        do_update = not warmup
+
+        warmup = n_chunk <= args.warmup_chunks
+        reset_queue = jnp.asarray(queue_sampler.sample(R), jnp.int32)
         key, k = jax.random.split(key)
-        (sac_state, env_state, hybrid, obs, replay, done, reward, info,
-         metrics) = train_step(sac_state, env_state, hybrid, obs, replay, k,
-                               warmup=warmup, do_update=do_update)
-        total_steps += B
-        timer.tick(B)
+        (sac_state, env_state, hybrid, obs, pool_idx, replay, logs,
+         metrics) = chunk_fn(sac_state, env_state, hybrid, obs, pool_idx,
+                             replay, pool.pool, reset_queue, k, warmup=warmup)
+        total_steps += B * K
+        timer.tick(B * K)
 
-        done_np = np.asarray(done)
-        if done_np.any():
-            statuses = np.asarray(info["status"])
-            idx = np.nonzero(done_np)[0]
-            for i in idx:
-                success = int(statuses[i] == ARRIVED)
-                scene_chooser.update_success_record(success, int(env_levels[i]))
-                if LEVELS[env_levels[i]] == "dlp" and pool.dlp_case_ids is not None:
-                    dlp_chooser.update_success_record(success, int(pool.dlp_case_ids[slots[i]]))
-            episodes_done += len(idx)
+        summary = summarize_logs(logs)
+        for flat_idx, success in summary["ends"]:
+            level = flat_idx // args.pool_per_level
+            scene_chooser.record_episode(level, success)
+            if LEVELS[level] == "dlp" and pool.dlp_case_ids is not None:
+                slot = flat_idx % args.pool_per_level
+                dlp_chooser.update_success_record(success, int(pool.dlp_case_ids[slot]))
+        episodes_done += summary["episodes"]
+        reward_hist.append(summary["reward_mean"])
 
-            # curriculum refill
-            new_levels = np.array([scene_chooser.choose_case() % n_levels for _ in idx])
-            new_slots = rng.integers(0, args.pool_per_level, len(idx))
-            env_levels[idx] = new_levels
-            slots[idx] = new_slots
-            fresh = pool.gather(pool.flat_index(new_levels, new_slots))
-            fresh_state, fresh_obs = env.batch_reset(fresh)
-            done_dev = jnp.asarray(done_np)
-            full_levels = jnp.asarray(env_levels)
-            # merge fresh into running state (only where done)
-            idx_map = np.zeros(B, np.int32)
-            idx_map[idx] = np.arange(len(idx))
-            expand = lambda t: jax.tree.map(lambda x: x[jnp.asarray(idx_map)], t)  # noqa: E731
-            env_state = ParkingEnv.reset_where(env_state, expand(fresh_state), done_dev)
-            obs = jax.tree.map(
-                lambda a, b: jnp.where(
-                    done_dev.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
-                expand(fresh_obs), obs)
+        if n_chunk % args.pool_refresh == 0:
+            dlp_ids = None if args.no_dlp else np.array(
+                [dlp_chooser.choose_case() for _ in range(args.pool_per_level)])
+            pool.refresh(dlp_case_ids=dlp_ids)
 
-        reward_hist.append(float(jnp.mean(reward)))
-
-        if wave % args.pool_refresh == 0:
-            dlp_ids = np.array([dlp_chooser.choose_case() for _ in range(args.pool_per_level)])
-            pool.refresh(dlp_case_ids=None if args.no_dlp else dlp_ids)
-
-        if wave % 10 == 0:
+        if n_chunk % 5 == 0 or episodes_done >= args.episodes:
             sr = scene_chooser.recent_success()
             line = {
-                "wave": wave, "episodes": episodes_done, "steps": total_steps,
-                "reward": float(np.mean(reward_hist[-50:])),
-                "success": {LEVELS[i]: float(sr[i]) for i in range(4)},
-                "alpha": float(jnp.exp(sac_state.log_alpha)),
-                "elapsed": time.time() - t_start,
+                "chunk": n_chunk, "episodes": episodes_done, "steps": total_steps,
+                "reward": float(np.mean(reward_hist[-20:])),
+                "success": {LEVELS[i]: round(float(sr[i]), 3) for i in range(4)},
+                "alpha": round(float(jnp.exp(sac_state.log_alpha)), 5),
+                "elapsed": round(time.time() - t_start, 1),
             }
             if metrics:
-                line["actor_loss"] = float(metrics["actor_loss"])
-                line["critic_loss"] = float(metrics["critic_loss"])
+                line["actor_loss"] = round(float(metrics["actor_loss"]), 4)
+                line["critic_loss"] = round(float(metrics["critic_loss"]), 4)
             rate = timer.report()
             if rate and rate["unit_per_sec"]:
                 line["env_steps_per_sec"] = round(rate["unit_per_sec"], 1)
             print(json.dumps(line), flush=True)
             flat = {k: v for k, v in line.items() if isinstance(v, (int, float))}
             flat.update({f"success/{k}": v for k, v in line["success"].items()})
-            writer.write(wave, flat)
+            writer.write(n_chunk, flat)
 
-        if args.save_every and wave % args.save_every == 0:
-            save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, wave)
+            # best-checkpoint gate: all levels simultaneously >= previous best,
+            # capped at the curriculum targets (reference :252-266)
+            capped = np.minimum(sr, TARGET_SUCCESS)
+            if episodes_done > 100 and np.all(capped >= best_success) and np.any(
+                    capped > best_success):
+                best_success = capped
+                save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
+                                sac_state, n_chunk)
 
-    save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, wave)
+        if args.save_every and n_chunk % args.save_every == 0:
+            save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, n_chunk)
+            from ..evaluation.render import save_reward_curve
+
+            save_reward_curve(os.path.join(args.log_dir, "reward_curve.png"),
+                              reward_hist)
+
+    save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, n_chunk)
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 
