@@ -13,9 +13,13 @@ Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -26,6 +30,12 @@ def _setup_cpu(n: int):
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n}").strip()
+    # env vars alone are too late when sitecustomize already imported jax;
+    # the config switch keeps jax.devices() from ever initializing the
+    # (possibly busy) TPU tunnel backend
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def time_chunk(n_devices: int, per_device: int, chunk_steps: int) -> float:
@@ -110,14 +120,20 @@ def main(argv=None):
 
     t1 = time_chunk(1, args.per_device, args.chunk_steps)
     tn = time_chunk(args.devices, args.per_device, args.chunk_steps)
-    eff = t1 / tn
+    n = args.devices
+    # NOTE: virtual CPU devices share the host's physical cores, so perfect
+    # weak scaling (tn == t1) is impossible here — this harness bounds the
+    # COLLECTIVE/SHARDING overhead, not real multi-chip scaling. Report the
+    # throughput gain of N-sharded work on the same silicon.
     print(json.dumps({
-        "metric": "dp_weak_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": f"t(1 dev)/t({args.devices} dev) at {args.per_device} envs/dev "
-                f"(virtual CPU mesh; 1.0 = perfect weak scaling)",
+        "metric": "dp_sharded_throughput_gain",
+        "value": round(n * t1 / tn, 3),
+        "unit": f"x throughput for {n}x envs sharded over {n} virtual CPU "
+                f"devices sharing one host's cores ({args.per_device} envs/dev; "
+                f"upper-bounded by physical core count, NOT by collectives)",
         "t1_s": round(t1, 3),
         "tn_s": round(tn, 3),
+        "weak_scaling_t1_over_tn": round(t1 / tn, 3),
     }))
 
 
