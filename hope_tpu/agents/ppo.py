@@ -3,10 +3,13 @@
 
 The full-buffer GAE reverse loop (:258-272) becomes a ``lax.scan``; the
 10-epoch x 32-minibatch inner loop (:278-341) is a scan over shuffled index
-blocks inside one jitted update.
+blocks inside one jitted update.  Three policy families (reference
+_actor_forward :119-144): gaussian (default), beta, and categorical over the
+discrete action set.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 
@@ -20,6 +23,27 @@ from ..envs.action_mask import ActionMaskTable
 from ..envs.action_mask import choose_action as mask_choose
 from ..models import MultiObsEmbedding
 from .state_norm import NormState, normalize, update as norm_update
+
+_BETA_EPS = 1e-5
+
+
+def _beta_params(raw):
+    a, b = jnp.split(raw, 2, axis=-1)
+    return jax.nn.softplus(a) + 1.0, jax.nn.softplus(b) + 1.0
+
+
+def _beta_logpdf(x, a, b):
+    from jax.scipy.special import betaln
+
+    x = jnp.clip(x, _BETA_EPS, 1.0 - _BETA_EPS)
+    return (a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x) - betaln(a, b)
+
+
+def _beta_entropy(a, b):
+    from jax.scipy.special import betaln, digamma
+
+    return (betaln(a, b) - (a - 1) * digamma(a) - (b - 1) * digamma(b)
+            + (a + b - 2) * digamma(a + b))
 
 
 @flax.struct.dataclass
@@ -39,9 +63,19 @@ class PPOAgent:
                  cfg: PPOConfig, obs_shape: dict,
                  mask_table: ActionMaskTable | None = None):
         assert critic_cfg.action_input_dim == 0, "PPO critic is V(s)"
+        assert cfg.dist_type in ("gaussian", "beta", "categorical")
         self.cfg = cfg
         self.obs_shape = obs_shape
         self.mask_table = mask_table
+        # actor head width follows the distribution family
+        if cfg.dist_type == "beta":
+            actor_cfg = dataclasses.replace(actor_cfg,
+                                            output_dim=2 * cfg.action_dim,
+                                            use_tanh_output=False)
+        elif cfg.dist_type == "categorical":
+            actor_cfg = dataclasses.replace(actor_cfg,
+                                            output_dim=cfg.n_discrete,
+                                            use_tanh_output=False)
         self.actor_net = MultiObsEmbedding(actor_cfg)
         self.critic_net = MultiObsEmbedding(critic_cfg)
         self.tx_actor = optax.adam(cfg.lr_actor)
@@ -68,32 +102,94 @@ class PPOAgent:
 
     # ---------------------------------------------------------------- acting
 
-    def _dist(self, st: PPOState, obs: dict):
-        obs = normalize(obs, st.norm) if self.cfg.state_norm else obs
-        mean = jnp.clip(self.actor_net.apply(st.actor, obs), -1.0, 1.0)
-        return mean, jnp.broadcast_to(jnp.exp(st.log_std), mean.shape)
+    def _raw(self, params, st_or_norm, obs: dict):
+        norm = st_or_norm.norm if hasattr(st_or_norm, "norm") else st_or_norm
+        obs = normalize(obs, norm) if self.cfg.state_norm else obs
+        return self.actor_net.apply(params, obs)
 
     @staticmethod
     def _log_prob(mean, std, a):
         return -((a - mean) ** 2) / (2 * std**2) - jnp.log(std) - 0.5 * math.log(2 * math.pi)
 
+    def _moments(self, raw, log_std):
+        """Mean/std of the policy in normalized [-1, 1] action units — used by
+        the masked discrete projection (reference _post_process_action)."""
+        if self.cfg.dist_type == "gaussian":
+            mean = jnp.clip(raw, -1.0, 1.0)
+            return mean, jnp.broadcast_to(jnp.exp(log_std), mean.shape)
+        if self.cfg.dist_type == "beta":
+            a, b = _beta_params(raw)
+            mu = a / (a + b)
+            var = a * b / ((a + b) ** 2 * (a + b + 1))
+            return 2 * mu - 1, 2 * jnp.sqrt(var)
+        raise ValueError("categorical has no gaussian moments")
+
+    def _logp_of(self, raw, log_std, action):
+        """Log-prob of a normalized [-1, 1] action under the policy."""
+        if self.cfg.dist_type == "gaussian":
+            mean = jnp.clip(raw, -1.0, 1.0)
+            std = jnp.broadcast_to(jnp.exp(log_std), mean.shape)
+            return jnp.sum(self._log_prob(mean, std, action), -1)
+        if self.cfg.dist_type == "beta":
+            a, b = _beta_params(raw)
+            x = (action + 1.0) / 2.0
+            # d(action)/dx = 2 -> subtract log 2 per dim
+            return jnp.sum(_beta_logpdf(x, a, b) - math.log(2.0), -1)
+        # categorical: snap to the nearest discrete action's index (hybrid RS
+        # queue actions are continuous; the reference's categorical path has
+        # the same impedance and this is the faithful closure of it)
+        table = self.mask_table.actions_norm                 # (A, 2)
+        idx = jnp.argmin(
+            jnp.sum((action[..., None, :] - table) ** 2, -1), -1)
+        logp = jax.nn.log_softmax(raw, axis=-1)
+        return jnp.take_along_axis(logp, idx[..., None], -1)[..., 0]
+
+    def _entropy(self, raw, log_std):
+        if self.cfg.dist_type == "gaussian":
+            std = jnp.broadcast_to(jnp.exp(log_std), raw.shape)
+            return jnp.sum(0.5 * jnp.log(2 * math.pi * math.e * std**2), -1)
+        if self.cfg.dist_type == "beta":
+            a, b = _beta_params(raw)
+            return jnp.sum(_beta_entropy(a, b), -1)
+        p = jax.nn.softmax(raw, axis=-1)
+        return -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-30)), -1)
+
     def choose_action(self, st: PPOState, obs: dict, key):
+        """Masked discrete projection (reference choose_action :146-168)."""
         assert self.mask_table is not None
-        mean, std = self._dist(st, obs)
+        raw = self._raw(st.actor, st, obs)
+        if self.cfg.dist_type == "categorical":
+            logp_all = jax.nn.log_softmax(raw, axis=-1)
+            w = jnp.exp(logp_all) * obs["action_mask"]
+            p = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-30)
+            idx = jax.random.categorical(key, jnp.log(jnp.maximum(p, 1e-30)))
+            action = self.mask_table.actions_norm[idx]
+            return action, jnp.take_along_axis(logp_all, idx[:, None], -1)[:, 0]
+        mean, std = self._moments(raw, st.log_std)
         keys = jax.random.split(key, mean.shape[0])
         action = jax.vmap(
             lambda m, s, mk, k: mask_choose(k, m, s, mk, self.mask_table)[0]
         )(mean, std, obs["action_mask"], keys)
-        return action, jnp.sum(self._log_prob(mean, std, action), -1)
+        return action, self._logp_of(raw, st.log_std, action)
 
     def get_action(self, st: PPOState, obs: dict, key):
-        mean, std = self._dist(st, obs)
-        a = jnp.clip(mean + std * jax.random.normal(key, mean.shape), -1.0, 1.0)
-        return a, jnp.sum(self._log_prob(mean, std, a), -1)
+        """Unmasked sample from the policy distribution."""
+        raw = self._raw(st.actor, st, obs)
+        if self.cfg.dist_type == "gaussian":
+            mean, std = self._moments(raw, st.log_std)
+            a = jnp.clip(mean + std * jax.random.normal(key, mean.shape), -1.0, 1.0)
+        elif self.cfg.dist_type == "beta":
+            alpha, beta = _beta_params(raw)
+            x = jax.random.beta(key, alpha, beta)
+            a = 2.0 * x - 1.0
+        else:
+            idx = jax.random.categorical(key, raw)
+            a = self.mask_table.actions_norm[idx]
+        return a, self._logp_of(raw, st.log_std, a)
 
     def log_prob(self, st: PPOState, obs: dict, action):
-        mean, std = self._dist(st, obs)
-        return jnp.sum(self._log_prob(mean, std, action), -1)
+        raw = self._raw(st.actor, st, obs)
+        return self._logp_of(raw, st.log_std, action)
 
     def observe_norm(self, st: PPOState, next_obs: dict) -> PPOState:
         if not self.cfg.state_norm:
@@ -173,16 +269,14 @@ class PPOAgent:
 
             def a_loss(p):
                 params, ls = p
-                mean = jnp.clip(self.actor_net.apply(params, o), -1.0, 1.0)
-                std = jnp.broadcast_to(jnp.exp(ls), mean.shape)
-                logp = jnp.sum(self._log_prob(mean, std, action[idx]), -1, keepdims=True)
+                raw = self.actor_net.apply(params, o)
+                logp = self._logp_of(raw, ls, action[idx])[:, None]
                 ratio = jnp.exp(logp - old_logp[idx])
                 s1 = ratio * adv[idx]
                 s2 = jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * adv[idx]
                 loss = -jnp.minimum(s1, s2)
                 if cfg.policy_entropy:
-                    ent = jnp.sum(0.5 * jnp.log(2 * math.pi * math.e * std**2), -1, keepdims=True)
-                    loss = loss - cfg.entropy_coef * ent
+                    loss = loss - cfg.entropy_coef * self._entropy(raw, ls)[:, None]
                 return jnp.mean(loss)
 
             def c_loss(params):

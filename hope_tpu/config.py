@@ -290,6 +290,12 @@ class PPOConfig:
     entropy_coef: float = 0.01
     gradient_clip: bool = False
     action_dim: int = 2
+    # policy distribution family (reference ppo_agent.py:119-144):
+    # "gaussian" (clamped mean + global log_std), "beta" (softplus+1 params,
+    # actions scaled (0,1)->[-1,1]), or "categorical" (logits over the 42
+    # discrete actions)
+    dist_type: str = "gaussian"
+    n_discrete: int = 42
 
 
 def actor_net_config(obs: ObsConfig = ObsConfig()) -> NetConfig:
