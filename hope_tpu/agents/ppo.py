@@ -22,6 +22,7 @@ from ..config import NetConfig, PPOConfig
 from ..envs.action_mask import ActionMaskTable
 from ..envs.action_mask import choose_action as mask_choose
 from ..models import MultiObsEmbedding
+from .schedules import lr_schedule
 from .state_norm import NormState, normalize, update as norm_update
 
 _BETA_EPS = 1e-5
@@ -78,8 +79,10 @@ class PPOAgent:
                                             use_tanh_output=False)
         self.actor_net = MultiObsEmbedding(actor_cfg)
         self.critic_net = MultiObsEmbedding(critic_cfg)
-        self.tx_actor = optax.adam(cfg.lr_actor)
-        self.tx_critic = optax.adam(cfg.lr_critic, eps=1e-8)
+        sched = partial(lr_schedule, decay=cfg.lr_decay,
+                        max_steps=cfg.max_train_steps)
+        self.tx_actor = optax.adam(sched(cfg.lr_actor))
+        self.tx_critic = optax.adam(sched(cfg.lr_critic), eps=1e-8)
 
     def _dummy_obs(self, batch=1):
         return {k: jnp.zeros((batch,) + tuple(s)) for k, s in self.obs_shape.items()}

@@ -18,6 +18,7 @@ import optax
 
 from ..config import NetConfig, SACConfig
 from ..envs.action_mask import ActionMaskTable, choose_action as mask_choose
+from .schedules import lr_schedule
 from .state_norm import NormState, normalize, update as norm_update
 from ..models import Critic, MultiObsEmbedding
 
@@ -50,9 +51,11 @@ class SACAgent:
         self.mask_table = mask_table
         self.actor_net = MultiObsEmbedding(actor_cfg)
         self.critic_net = Critic(critic_cfg)
-        self.tx_actor = optax.adam(cfg.lr_actor, eps=1e-8)
-        self.tx_critic = optax.adam(cfg.lr_critic, eps=1e-8)
-        self.tx_alpha = optax.adam(cfg.lr_alpha, eps=1e-8)
+        sched = partial(lr_schedule, decay=cfg.lr_decay,
+                        max_steps=cfg.max_train_steps)
+        self.tx_actor = optax.adam(sched(cfg.lr_actor), eps=1e-8)
+        self.tx_critic = optax.adam(sched(cfg.lr_critic), eps=1e-8)
+        self.tx_alpha = optax.adam(sched(cfg.lr_alpha), eps=1e-8)
 
     # ----------------------------------------------------------------- init
 

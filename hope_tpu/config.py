@@ -270,6 +270,12 @@ class SACConfig:
     state_norm: bool = True
     reward_norm: bool = False
     update_every: int = 10
+    # lr schedule (reference agent_base.lr_decay :81-86): None, "linear", "exp"
+    lr_decay: str | None = None
+    max_train_steps: int = 1_000_000
+    # epsilon-greedy exploration mix-in (reference agent_base.epsilon_greedy
+    # :76-79 / env_wrapper.action_rescale :37-50); 0 disables
+    explore_epsilon: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -296,6 +302,8 @@ class PPOConfig:
     # discrete actions)
     dist_type: str = "gaussian"
     n_discrete: int = 42
+    lr_decay: str | None = None      # None, "linear", "exp"
+    max_train_steps: int = 1_000_000
 
 
 def actor_net_config(obs: ObsConfig = ObsConfig()) -> NetConfig:

@@ -112,7 +112,17 @@ def build_sac_chunk(env: ParkingEnv, agent, step_ratio: float,
                 a = jax.random.uniform(k, (B, agent.cfg.action_dim),
                                        minval=-1.0, maxval=1.0)
                 return a, agent.log_prob(state, o, a)
-            return agent.get_action(state, o, k)
+            a, lp = agent.get_action(state, o, k)
+            eps = getattr(agent.cfg, "explore_epsilon", 0.0)
+            if eps > 0.0:
+                # epsilon-greedy mix-in (reference env_wrapper.action_rescale
+                # :37-50 / agent_base.epsilon_greedy :76-79)
+                k1, k2 = jax.random.split(jax.random.fold_in(k, 7))
+                rand_a = jax.random.uniform(k1, a.shape, minval=-1.0, maxval=1.0)
+                take = jax.random.bernoulli(k2, eps, (a.shape[0],))
+                a = jnp.where(take[:, None], rand_a, a)
+                lp = jnp.where(take, agent.log_prob(state, o, rand_a), lp)
+            return a, lp
 
         step = _collect_step(env, step_ratio, act_fn, agent.log_prob)
 
