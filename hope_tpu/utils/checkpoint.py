@@ -30,3 +30,23 @@ def load_checkpoint(path: str, abstract_state, step: int | None = None):
         os.path.join(path, f"step_{step}"),
         jax.tree.map(lambda x: x, abstract_state),
     )
+
+
+def load_params_only(path: str, state, step: int | None = None):
+    """Restore network/normalizer state but keep this run's optimizer state
+    (reference ``load(params_only=True)``, agent_base.py:110-127): every field
+    of the checkpoint is adopted except the ``opt_*`` optimizer slots."""
+    import dataclasses
+
+    full = load_checkpoint(path, state, step)
+    keep = {f.name: getattr(state, f.name) for f in dataclasses.fields(state)
+            if f.name.startswith("opt_")}
+    return full.replace(**keep)
+
+
+def load_actor_only(path: str, state, step: int | None = None):
+    """Graft only the policy (actor params + log_std + obs normalizer) from a
+    checkpoint into ``state`` (reference PPOAgent.load_actor,
+    ppo_agent.py:400-415) — critics/optimizers/counters stay fresh."""
+    full = load_checkpoint(path, state, step)
+    return state.replace(actor=full.actor, log_std=full.log_std, norm=full.norm)
