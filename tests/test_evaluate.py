@@ -1,0 +1,88 @@
+"""Evaluation battery: summarize metrics + lockstep episode runner semantics
+(reference evaluation/eval_utils.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hope_tpu.config import EnvConfig, ObsConfig
+from hope_tpu.envs import ParkingEnv, make_scene, stack_scenes
+from hope_tpu.envs.rewards import ARRIVED
+from hope_tpu.evaluation.evaluate import build_episode_runner, summarize
+from hope_tpu.geometry import pose_to_box
+
+
+def test_summarize_per_level_and_steps():
+    metrics = {
+        "success": np.array([True, False, True, True]),
+        "steps": np.array([10, 200, 30, 50]),
+        "path_length": np.array([5.0, 80.0, 12.0, 20.0]),
+        "level": np.array([0, 0, 1, 1]),
+        "case_id": np.arange(4),
+        "status": np.array([1, 4, 1, 1]),
+        "finished": np.array([True, False, True, True]),
+    }
+    s = summarize(metrics)
+    assert s["success_rate"] == 0.75
+    assert s["n"] == 4
+    assert s["per_level"]["Normal"]["success_rate"] == 0.5
+    assert s["per_level"]["Complex"]["success_rate"] == 1.0
+    # path length averaged only over completed-within-cap episodes
+    assert s["per_level"]["Normal"]["path_length_mean"] == 5.0
+    # success_steps over successes only
+    np.testing.assert_allclose(s["success_steps_mean"], np.mean([10, 30, 50]))
+
+
+def _tiny_env_and_scenes(B=2):
+    cfg = EnvConfig(obs=ObsConfig(use_img=False, mask_backend="xla"),
+                    max_edges=16, max_obstacles=2, rs_max_points=32,
+                    rs_max_tries=2)
+    env = ParkingEnv(cfg)
+    corners = jnp.asarray(cfg.vehicle.box_corners())
+    room = np.array([[-12.0, -8], [12, -8], [12, 8], [-12, 8]])
+    dest = [4.0, 0.0, 0.0]
+    dest_box = np.asarray(pose_to_box(jnp.asarray(dest), corners))
+    scene = make_scene([room], [0.0, 0.0, 0.0], dest, [-14, 14, -10, 10],
+                       level=0, case_id=7, dest_box=dest_box,
+                       max_edges=16, max_polys=2)
+    return env, stack_scenes([scene] * B)
+
+
+def test_episode_runner_forward_policy_arrives():
+    env, scenes = _tiny_env_and_scenes()
+
+    # drive straight ahead at full speed: dest is 4 m in front, RS latch or the
+    # raw motion finishes the episode well inside the cap
+    def policy_act(obs, k):
+        B = obs["target"].shape[0]
+        return jnp.tile(jnp.asarray([[0.0, 1.0]]), (B, 1)), jnp.zeros(B)
+
+    def policy_logp(obs, a):
+        return jnp.zeros(a.shape[0])
+
+    run = build_episode_runner(env, policy_act, policy_logp, max_steps=24,
+                               use_rs=True)
+    m = jax.tree.map(np.asarray, run(scenes, jax.random.PRNGKey(0)))
+    assert m["success"].all()
+    assert (m["status"] == ARRIVED).all()
+    assert (m["steps"] < 24).all()
+    assert (m["path_length"] > 2.0).all()  # integrated motion, not zero
+    assert (m["case_id"] == 7).all()
+
+
+def test_episode_runner_freezes_after_done():
+    env, scenes = _tiny_env_and_scenes()
+
+    def policy_act(obs, k):
+        B = obs["target"].shape[0]
+        return jnp.tile(jnp.asarray([[0.0, 1.0]]), (B, 1)), jnp.zeros(B)
+
+    def policy_logp(obs, a):
+        return jnp.zeros(a.shape[0])
+
+    short = build_episode_runner(env, policy_act, policy_logp, max_steps=24)
+    longer = build_episode_runner(env, policy_act, policy_logp, max_steps=40)
+    m1 = jax.tree.map(np.asarray, short(scenes, jax.random.PRNGKey(0)))
+    m2 = jax.tree.map(np.asarray, longer(scenes, jax.random.PRNGKey(0)))
+    # extending the battery after everyone finished changes nothing
+    np.testing.assert_array_equal(m1["steps"], m2["steps"])
+    np.testing.assert_allclose(m1["path_length"], m2["path_length"], rtol=1e-6)
