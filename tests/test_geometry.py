@@ -71,7 +71,9 @@ def test_convex_clip_area_vs_oracle(rng):
         b = oracle.random_convex_quad(rng)
         want = oracle.convex_poly_intersection_area(a, b)
         got = float(convex_clip_area(jnp.asarray(a), jnp.asarray(b)))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        # atol: float32 ULP scale for coordinates up to ~8 (area products ~64,
+        # eps*64 ~ 8e-6) — sliver intersections carry that absolute error
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_convex_clip_identical_and_disjoint():
@@ -135,3 +137,28 @@ def test_kernels_jit_and_vmap(rng):
     jit_area = jax.jit(convex_clip_area)
     sq = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
     np.testing.assert_allclose(float(jit_area(sq, sq)), 1.0, rtol=1e-6)
+
+
+def test_clip_green_matches_sutherland_hodgman(rng):
+    from hope_tpu.geometry.clip import convex_clip_area_sh
+
+    for _ in range(200):
+        a = oracle.random_convex_quad(rng)
+        b = oracle.random_convex_quad(rng)
+        sh = float(convex_clip_area_sh(jnp.asarray(a), jnp.asarray(b)))
+        lb = float(convex_clip_area(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(lb, sh, rtol=1e-4, atol=1e-6)
+
+
+def test_clip_degenerate_shared_boundary():
+    sq = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    # boxes sharing exactly one edge: zero overlap, counted once not twice
+    right = sq + jnp.asarray([1.0, 0.0])
+    np.testing.assert_allclose(float(convex_clip_area(sq, right)), 0.0, atol=1e-7)
+    # full containment, both directions
+    small = sq * 0.5 + jnp.asarray([0.25, 0.25])
+    np.testing.assert_allclose(float(convex_clip_area(sq, small)), 0.25, rtol=1e-6)
+    np.testing.assert_allclose(float(convex_clip_area(small, sq)), 0.25, rtol=1e-6)
+    # collinear partial-overlap boundary (slot-aligned parking pose)
+    slid = sq + jnp.asarray([0.5, 1.0])
+    np.testing.assert_allclose(float(convex_clip_area(sq, slid)), 0.0, atol=1e-7)
