@@ -83,50 +83,62 @@ def main():
     from hope_tpu.envs.scenario_gen import generate_bank
 
     B = 1024
-    obs_cfg = ObsConfig(use_img=False)
-    env_cfg = EnvConfig(obs=obs_cfg, max_edges=96, max_obstacles=32)
-    env = ParkingEnv(env_cfg)
-
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    bay, _ = generate_bank(k1, level="Normal", n=B // 2, bay_ratio=1.0)
-    par, _ = generate_bank(k2, level="Normal", n=B // 2, bay_ratio=0.0)
-    scenes = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), bay, par)
 
-    state, obs = env.batch_reset(scenes)
+    def make_scenes(env_cfg):
+        bay, _ = generate_bank(k1, level="Normal", n=B // 2, bay_ratio=1.0)
+        par, _ = generate_bank(k2, level="Normal", n=B // 2, bay_ratio=0.0)
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), bay, par)
 
-    @jax.jit
-    def rollout(state, obs, key):
-        def step(carry, k):
-            state, obs = carry
-            # random masked action per env (exploration-style stepping)
-            def pick(m, s, mk, kk):
-                a, _ = choose_action(kk, m, s, mk, env.mask_table)
-                return a
+    def measure(use_img: bool, search_rs: bool) -> float:
+        """Steady-state env-steps/s for one observation/RS configuration."""
+        obs_cfg = ObsConfig(use_img=use_img)
+        env_cfg = EnvConfig(obs=obs_cfg, max_edges=96, max_obstacles=32)
+        env = ParkingEnv(env_cfg)
+        scenes = make_scenes(env_cfg)
+        state, obs = env.batch_reset(scenes)
 
-            keys = jax.random.split(k, B)
-            acts = jax.vmap(pick)(jnp.zeros((B, 2)), jnp.ones((B, 2)),
-                                  obs["action_mask"], keys)
-            state, obs, r, done, info = env.batch_step(
-                state, env.rescale_action(acts), search_rs=False)
-            return (state, obs), r
+        @jax.jit
+        def rollout(state, obs, key):
+            def step(carry, k):
+                state, obs = carry
+                # random masked action per env (exploration-style stepping)
+                def pick(m, s, mk, kk):
+                    a, _ = choose_action(kk, m, s, mk, env.mask_table)
+                    return a
 
-        (state, obs), rs = jax.lax.scan(step, (state, obs), jax.random.split(key, 20))
-        return state, obs, rs
+                keys = jax.random.split(k, B)
+                acts = jax.vmap(pick)(jnp.zeros((B, 2)), jnp.ones((B, 2)),
+                                      obs["action_mask"], keys)
+                state, obs, r, done, info = env.batch_step(
+                    state, env.rescale_action(acts), search_rs=search_rs)
+                return (state, obs), r
 
-    # two warmup calls: the first compiles, the second still pays one-time
-    # buffer/layout costs on the axon tunnel; steady state starts at call 3
-    out = rollout(state, obs, k3)
-    jax.block_until_ready(out)
-    out = rollout(*out[:2], jax.random.fold_in(k3, 0))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    n_timed = 3
-    for i in range(1, n_timed + 1):
-        out = rollout(*out[:2], jax.random.fold_in(k3, i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_timed
-    steps_per_sec = B * 20 / dt
+            (state, obs), rs = jax.lax.scan(step, (state, obs),
+                                            jax.random.split(key, 20))
+            return state, obs, rs
+
+        # two warmup calls: the first compiles, the second still pays one-time
+        # buffer/layout costs on the axon tunnel; steady state starts at call 3
+        out = rollout(state, obs, k3)
+        jax.block_until_ready(out)
+        out = rollout(*out[:2], jax.random.fold_in(k3, 0))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        n_timed = 3
+        for i in range(1, n_timed + 1):
+            out = rollout(*out[:2], jax.random.fold_in(k3, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_timed
+        return B * 20 / dt
+
+    # headline: obs-only stepping (lidar+mask+target), the BASELINE.json config
+    steps_per_sec = measure(use_img=False, search_rs=False)
+    # honest variants: the reference env also pays an RS search near the goal
+    # and a full BEV render every step (car_parking_base.py:293-297,383-411)
+    rs_rate = measure(use_img=False, search_rs=True)
+    full_rate = measure(use_img=True, search_rs=True)
 
     ref_rate = numpy_reference_step_rate()
     print(json.dumps({
@@ -134,6 +146,10 @@ def main():
         "value": round(steps_per_sec, 1),
         "unit": "env-steps/s (1024 scenes, lidar+mask obs, masked random actions)",
         "vs_baseline": round(steps_per_sec / ref_rate, 2),
+        "variants": {
+            "rs_search_on": round(rs_rate, 1),
+            "img_and_rs_on": round(full_rate, 1),
+        },
     }))
 
 

@@ -23,6 +23,15 @@ from .state_norm import NormState, normalize, update as norm_update
 from ..models import Critic, MultiObsEmbedding
 
 
+def _img_encoder_mask(params):
+    """Bool pytree: True for leaves under an 'embed_img' module (any depth —
+    works for the bare actor tree and the (actor, log_std) tuple alike)."""
+    def is_img(path):
+        return any(getattr(k, "key", None) == "embed_img" for k in path)
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: is_img(p), params)
+
+
 @flax.struct.dataclass
 class SACState:
     actor: dict
@@ -56,6 +65,15 @@ class SACAgent:
         self.tx_actor = optax.adam(sched(cfg.lr_actor), eps=1e-8)
         self.tx_critic = optax.adam(sched(cfg.lr_critic), eps=1e-8)
         self.tx_alpha = optax.adam(sched(cfg.lr_alpha), eps=1e-8)
+        if getattr(cfg, "freeze_img_encoder", False):
+            # zero every update under an 'embed_img' module: the grafted
+            # pretrained encoder stays fixed (reference network.py:158-162)
+            def freeze(tx):
+                return optax.chain(tx, optax.masked(
+                    optax.set_to_zero(), _img_encoder_mask))
+
+            self.tx_actor = freeze(self.tx_actor)
+            self.tx_critic = freeze(self.tx_critic)
 
     # ----------------------------------------------------------------- init
 

@@ -276,6 +276,9 @@ class SACConfig:
     # epsilon-greedy exploration mix-in (reference agent_base.epsilon_greedy
     # :76-79 / env_wrapper.action_rescale :37-50); 0 disables
     explore_epsilon: float = 0.0
+    # keep a grafted pretrained image encoder fixed during training
+    # (reference load_img_encoder(..., require_grad=False) network.py:158-162)
+    freeze_img_encoder: bool = False
 
 
 @dataclass(frozen=True)

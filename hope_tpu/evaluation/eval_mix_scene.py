@@ -90,7 +90,7 @@ def main(argv=None):
             scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
         metrics = run(scenes, k2)
         metrics_np = jax.tree.map(np.asarray, metrics)
-        summary = summarize(metrics_np)
+        summary = summarize(metrics_np, max_steps=args.max_steps)
         results[level] = summary
         write_report(os.path.join(args.out, f"result_{level}.json"), summary)
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..agents import HybridState, hybrid_act, latch
 from ..envs import ARRIVED, ParkingEnv
+from ..envs.rewards import COLLIDED, OUTBOUND, OUTTIME
 from ..envs.scene import LEVEL_NAMES, Scene
 
 
@@ -37,7 +38,8 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
         hybrid = HybridState.create(B, env.cfg.rs_queue_len)
 
         def step_fn(carry, k):
-            state, obs, hybrid, finished, steps, path_len, status, last_tgt = carry
+            (state, obs, hybrid, finished, steps, path_len, status, last_tgt,
+             ever_rs) = carry
             k_act, k_rand = jax.random.split(k)
             action, logp = policy_act(obs, k_act)
             # stuck detector: identical target obs twice -> random action
@@ -55,6 +57,7 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
                 state, env.rescale_action(action), search_rs=use_rs)
             if use_rs:
                 hybrid = latch(hybrid, info["rs"], env.cfg.step_ratio)
+                ever_rs = ever_rs | (info["rs"].found & ~finished)
 
             new_xy = jnp.stack([new_state.vehicle.x, new_state.vehicle.y], -1)
             moved = jnp.linalg.norm(new_xy - prev_xy, axis=-1)
@@ -73,11 +76,13 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
             obs = sel(obs, new_obs)
             out = state.vehicle.pose if record_traj else None
             return (state, obs, hybrid, finished, steps, path_len, status,
-                    obs["target"]), out
+                    obs["target"], ever_rs), out
 
         init = (state, obs, hybrid, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
-                jnp.zeros(B), jnp.full(B, -1, jnp.int32), obs["target"])
-        (state, obs, hybrid, finished, steps, path_len, status, _), poses = jax.lax.scan(
+                jnp.zeros(B), jnp.full(B, -1, jnp.int32), obs["target"],
+                jnp.zeros(B, bool))
+        (state, obs, hybrid, finished, steps, path_len, status, _,
+         ever_rs), poses = jax.lax.scan(
             step_fn, init, jax.random.split(key, max_steps))
         extra = {"poses": poses} if record_traj else {}
         return extra | {
@@ -86,6 +91,7 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
             "path_length": path_len,
             "status": status,
             "finished": finished,
+            "rs_latched": ever_rs,
             "level": scenes.level,
             "case_id": scenes.case_id,
         }
@@ -93,8 +99,13 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
     return run
 
 
-def summarize(metrics: dict) -> dict:
-    """Reference result.txt-style summary (eval_utils.py:85-148)."""
+def summarize(metrics: dict, max_steps: int = 200) -> dict:
+    """Reference result.txt-style summary (eval_utils.py:85-148).
+
+    ``max_steps`` must match the cap the runner was built with — path-length
+    stats are reported only for episodes that finished within the cap
+    (eval_utils.py:64-66).
+    """
     succ = np.asarray(metrics["success"])
     steps = np.asarray(metrics["steps"])
     plen = np.asarray(metrics["path_length"])
@@ -106,16 +117,26 @@ def summarize(metrics: dict) -> dict:
         "success_steps_std": float(steps[succ].std()) if succ.any() else None,
         "per_level": {},
     }
+    status = np.asarray(metrics["status"])
+    rs = np.asarray(metrics.get("rs_latched", np.zeros_like(succ)))
     for lv in np.unique(level):
         m = level == lv
         name = LEVEL_NAMES.get(int(lv), str(lv))
         # path length reported for completed-within-cap episodes (ref :64-66)
-        short = m & (steps < 200)
+        short = m & (steps < max_steps)
         out["per_level"][name] = {
             "n": int(m.sum()),
             "success_rate": float(succ[m].mean()),
             "steps_mean": float(steps[m].mean()),
             "path_length_mean": float(plen[short].mean()) if short.any() else None,
+            # failure-mode breakdown + hybrid diagnostics (not in the
+            # reference's result.txt, but essential to see WHY a level fails)
+            "collided": float((status[m] == COLLIDED).mean()),
+            "outbound": float((status[m] == OUTBOUND).mean()),
+            "outtime": float(
+                (~np.asarray(metrics["finished"])[m]
+                 | (status[m] == OUTTIME)).mean()),
+            "rs_latched": float(rs[m].mean()),
         }
     return out
 

@@ -96,21 +96,34 @@ class VAEConv(nn.Module):
 def graft_encoder_params(policy_params: dict, ae_params: dict,
                          net_name: str = "embed_img") -> dict:
     """Replace the policy's image-encoder params with pretrained AE encoder
-    params (reference load_img_encoder)."""
+    params (reference load_img_encoder network.py:158-162).
+
+    Matches by path *suffix* below the encoder module, so it grafts into both
+    the actor tree (``params/embed_img/...``) and the critic tree
+    (``params/net/embed_img/...``).  Raises if nothing was grafted (shape or
+    naming drift would otherwise silently no-op).
+    """
     import flax
 
     flat = flax.traverse_util.flatten_dict(policy_params)
     ae_flat = flax.traverse_util.flatten_dict(ae_params)
+    # AE encoder params keyed by their path suffix below the 'encoder' module
+    enc = {k[k.index("encoder") + 1:]: v
+           for k, v in ae_flat.items() if "encoder" in k}
     out = dict(flat)
-    for k, v in ae_flat.items():
-        if "encoder" in k:
-            idx = k.index("encoder")
-            new_key = k[:idx - 1] + (net_name,) + k[idx + 1:] if idx > 0 else \
-                (net_name,) + k[idx + 1:]
-            # ae params: ('params','encoder',...) -> ('params', net_name, ...)
-            new_key = tuple(p if p != "encoder" else net_name for p in k)
-            if new_key in out:
-                out[new_key] = v
+    n = 0
+    for k in flat:
+        if net_name in k:
+            suffix = k[k.index(net_name) + 1:]
+            if suffix in enc:
+                if out[k].shape != enc[suffix].shape:
+                    raise ValueError(
+                        f"graft shape mismatch at {k}: policy "
+                        f"{out[k].shape} vs AE {enc[suffix].shape}")
+                out[k] = enc[suffix]
+                n += 1
+    if n == 0:
+        raise ValueError("graft_encoder_params matched no parameters")
     return flax.traverse_util.unflatten_dict(out)
 
 

@@ -1,0 +1,260 @@
+"""Pure-MPC parking evaluation: Reeds-Shepp warm start + batched iLQR
+receding-horizon refinement, rolled out in the real environment.
+
+BASELINE.json config 3 ("DLP mixed-scene batch with Reeds-Shepp fallback and
+pure-MPC iLQR refinement") — a capability beyond the reference (HOPE is RL+RS
+only).  The RS selection feeding the warm start uses exactly the env's endgame
+search semantics (reference ``env/car_parking_base.py:413-450`` → masked
+parallel cascade in ``planning.rs_select``); the refinement is the batched
+Riccati solver in ``planning.ilqr``; execution uses the same first-event
+sub-step environment the RL agents train in.
+
+Reported metrics (all measured, not estimated):
+  * success rate over the battery (arrival = 95% slot overlap);
+  * QP solves/s — one iLQR iteration is one horizon-length Riccati QP solve
+    per scenario, so a ``solve_batch`` call performs B x n_iters of them;
+  * p50/p99 plan latency — wall time of one warm replan cycle
+    (RS search + iLQR solve) for the whole batch and for a single scenario.
+
+Usage: python -m hope_tpu.planning.mpc --episodes 256 --out log/mpc
+       python -m hope_tpu.planning.mpc --episodes 8 --smoke
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig, ObsConfig
+from ..envs import ParkingEnv
+from ..envs.rewards import ARRIVED, CONTINUE
+from .ilqr import ILQRConfig, solve_batch
+from .rs_select import build_action_queue, find_path_batch
+
+
+def rs_warm_start(env: ParkingEnv, poses, scenes, horizon: int):
+    """Batched RS plan from current poses -> (us (B, H, 2) physical controls,
+    found (B,)).  Envs without a collision-free RS path get zero controls
+    (the iLQR then plans from scratch — the 'fallback' direction inverts the
+    reference's: there RS is the fallback for RL, here RS warm-starts MPC)."""
+    cfg = env.cfg
+    rs = find_path_batch(
+        poses, scenes.dest, cfg.vehicle.max_curvature, env.corners,
+        scenes.edges, scenes.edge_mask, scenes.bounds,
+        n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
+        max_tries=cfg.rs_max_tries, use_pallas=env._pallas_mask,
+    )
+    q, _ = jax.vmap(
+        lambda p: build_action_queue(p, cfg.step_ratio, horizon))(rs)
+    scale = jnp.asarray([cfg.vehicle.max_steer, cfg.vehicle.max_speed])
+    return q * scale, rs.found
+
+
+def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
+                     replan_every: int = 8, max_steps: int = 200):
+    """Jitted receding-horizon episode runner over a scene batch.
+
+    Every ``replan_every`` control steps: RS warm start (shifted previous plan
+    where no RS path validates) -> ``solve_batch`` refinement -> apply the
+    first ``replan_every`` refined controls with the batched env transition.
+    Finished envs freeze in place (same lockstep battery semantics as
+    ``evaluation.evaluate``).
+    """
+    H = ilqr_cfg.horizon
+    M = replan_every
+    n_outer = max(1, max_steps // M)
+
+    @jax.jit
+    def run(scenes):
+        state = jax.vmap(env._init_state)(scenes)
+        B = scenes.dest.shape[0]
+
+        def outer(carry, _):
+            state, us_prev, finished, steps, path_len, status, ever_rs = carry
+            pose = state.vehicle.pose
+
+            us_rs, found = rs_warm_start(env, pose, scenes, H)
+            ever_rs = ever_rs | (found & ~finished)
+            us_shift = jnp.concatenate(
+                [us_prev[:, M:], jnp.zeros((B, M, 2))], axis=1)
+            us_init = jnp.where(found[:, None, None], us_rs, us_shift)
+
+            res = solve_batch(pose, scenes.dest, scenes.edges,
+                              scenes.edge_mask, us_init, ilqr_cfg,
+                              env.cfg.vehicle)
+
+            def inner(c, u_t):
+                state, finished, steps, path_len, status = c
+                prev_xy = jnp.stack([state.vehicle.x, state.vehicle.y], -1)
+                new_state, r, done, info = jax.vmap(
+                    partial(env._transition, search_rs=False))(state, u_t)
+                new_xy = jnp.stack([new_state.vehicle.x, new_state.vehicle.y],
+                                   -1)
+                moved = jnp.linalg.norm(new_xy - prev_xy, axis=-1)
+                active = ~finished
+                steps = steps + active.astype(jnp.int32)
+                path_len = path_len + jnp.where(active, moved, 0.0)
+                status = jnp.where(active & done, info["status"], status)
+                finished = finished | done
+                sel = lambda a, b: jax.tree.map(  # noqa: E731
+                    lambda x, y: jnp.where(
+                        finished.reshape((B,) + (1,) * (x.ndim - 1)), x, y),
+                    a, b)
+                state = sel(state, new_state)
+                return (state, finished, steps, path_len, status), None
+
+            us_apply = jnp.transpose(res.us[:, :M], (1, 0, 2))   # (M, B, 2)
+            (state, finished, steps, path_len, status), _ = jax.lax.scan(
+                inner, (state, finished, steps, path_len, status), us_apply)
+            return (state, us_prev * 0 + res.us, finished, steps, path_len,
+                    status, ever_rs), res.cost
+
+        init = (state, jnp.zeros((B, H, 2)), jnp.zeros(B, bool),
+                jnp.zeros(B, jnp.int32), jnp.zeros(B),
+                jnp.full(B, CONTINUE, jnp.int32), jnp.zeros(B, bool))
+        (state, _, finished, steps, path_len, status, ever_rs), costs = \
+            jax.lax.scan(outer, init, None, length=n_outer)
+        return {
+            "success": status == ARRIVED,
+            "steps": steps,
+            "path_length": path_len,
+            "status": status,
+            "finished": finished,
+            "rs_latched": ever_rs,
+            "level": scenes.level,
+            "case_id": scenes.case_id,
+            "final_cost": costs[-1],
+        }
+
+    return run
+
+
+def _plan_cycle_fn(env: ParkingEnv, ilqr_cfg: ILQRConfig):
+    """One warm replan cycle (RS search + iLQR refinement) as a jitted fn —
+    the unit whose latency the p50/p99 metrics measure."""
+
+    @jax.jit
+    def cycle(poses, scenes):
+        us, found = rs_warm_start(env, poses, scenes, ilqr_cfg.horizon)
+        res = solve_batch(poses, scenes.dest, scenes.edges, scenes.edge_mask,
+                          us, ilqr_cfg, env.cfg.vehicle)
+        return res.us, res.cost, found
+
+    return cycle
+
+
+def measure_plan_latency(env, ilqr_cfg, scenes, n_calls: int = 20):
+    """p50/p99 wall latency of a warm plan cycle + derived QP-solve rate."""
+    cycle = _plan_cycle_fn(env, ilqr_cfg)
+    poses = scenes.start
+    out = cycle(poses, scenes)
+    jax.block_until_ready(out)                    # compile + layout warmup
+    times = []
+    for _ in range(n_calls):
+        t0 = time.perf_counter()
+        out = cycle(poses, scenes)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    B = int(scenes.dest.shape[0])
+    per_call_solves = B * ilqr_cfg.n_iters
+    return {
+        "batch": B,
+        "p50_s": float(np.percentile(times, 50)),
+        "p99_s": float(np.percentile(times, 99)),
+        "qp_solves_per_sec": per_call_solves / float(np.median(times)),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=256)
+    ap.add_argument("--max-steps", type=int, default=200)
+    ap.add_argument("--replan-every", type=int, default=8)
+    ap.add_argument("--horizon", type=int, default=40)
+    ap.add_argument("--ilqr-iters", type=int, default=12)
+    ap.add_argument("--no-dlp", action="store_true",
+                    help="procedural Normal battery instead of DLP mixed")
+    ap.add_argument("--out", type=str, default="log/mpc")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args(argv)
+    if args.smoke:
+        args.episodes, args.max_steps, args.horizon = 4, 24, 16
+        args.replan_every, args.ilqr_iters = 8, 3
+
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    env_cfg = EnvConfig(obs=ObsConfig(use_img=False, use_action_mask=False),
+                        max_edges=96 if args.no_dlp else 512,
+                        max_obstacles=32 if args.no_dlp else 128)
+    env = ParkingEnv(env_cfg)
+    ilqr_cfg = ILQRConfig(horizon=args.horizon, dt=env_cfg.vehicle.dt
+                          * env_cfg.vehicle.n_substep,
+                          n_iters=args.ilqr_iters)
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    if args.no_dlp:
+        from ..envs.scenario_gen import generate_bank
+        from ..train.scene_pool import pad_scene_batch
+
+        scenes, _ = generate_bank(k1, level="Normal", n=args.episodes)
+        scenes = pad_scene_batch(scenes, env_cfg.max_edges,
+                                 env_cfg.max_obstacles)
+    else:
+        from ..envs.dlp import DLPDataset
+        from ..train.scene_pool import pad_scene_batch
+
+        ds = DLPDataset(env_cfg=env_cfg)
+        ids = jnp.arange(args.episodes) % ds.n_cases
+        scenes = ds.batch_reset(jax.random.split(k1, args.episodes), ids)
+        scenes = pad_scene_batch(scenes, env_cfg.max_edges,
+                                 env_cfg.max_obstacles)
+
+    os.makedirs(args.out, exist_ok=True)
+    run = build_mpc_runner(env, ilqr_cfg, args.replan_every, args.max_steps)
+    t0 = time.perf_counter()
+    metrics = jax.tree.map(np.asarray, run(scenes))
+    t_ep = time.perf_counter() - t0
+
+    from ..evaluation.evaluate import summarize, write_report
+
+    summary = summarize(metrics, max_steps=args.max_steps)
+    summary["episode_batch_seconds"] = round(t_ep, 3)
+    summary["config"] = {"replan_every": args.replan_every,
+                         "horizon": args.horizon,
+                         "ilqr_iters": args.ilqr_iters,
+                         "battery": "Normal" if args.no_dlp else "dlp"}
+
+    lat = measure_plan_latency(env, ilqr_cfg, scenes,
+                               n_calls=3 if args.smoke else 20)
+    # single-scenario latency: same cycle on a 1-scene slice
+    one = jax.tree.map(lambda x: x[:1], scenes)
+    lat1 = measure_plan_latency(env, ilqr_cfg, one,
+                                n_calls=3 if args.smoke else 20)
+    summary["plan_latency"] = {"batch": lat, "single": lat1}
+
+    write_report(os.path.join(args.out, "result_mpc.json"), summary)
+    print(json.dumps({"metric": "mpc_success_rate",
+                      "value": summary["success_rate"],
+                      "unit": f"fraction ({args.episodes} "
+                              f"{'Normal' if args.no_dlp else 'DLP'} episodes, "
+                              f"RS warm start + iLQR)",
+                      "qp_solves_per_sec": round(lat["qp_solves_per_sec"], 1),
+                      "plan_p50_ms": round(lat["p50_s"] * 1e3, 2),
+                      "plan_p50_ms_single": round(lat1["p50_s"] * 1e3, 2)}),
+          flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

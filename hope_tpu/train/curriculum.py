@@ -103,3 +103,22 @@ class DlpCaseChoose:
     def update_success_record(self, success: int, case_id: int):
         self.case_success[case_id].append(int(success))
         self.case_record.append(case_id)
+
+    def slot_weights(self, case_ids) -> np.ndarray:
+        """Failure-rate sampling weights over the pool's current DLP slots.
+
+        Mirrors the reference's per-episode case re-pick
+        (train_HOPE_sac.py:70-97: failure rate of the last 10 attempts, 20%
+        uniform exploration) but applied to the slot axis of the device-side
+        scene pool, so every reset-queue fill — not just pool refreshes —
+        oversamples the currently-failing DLP cases.
+        """
+        rates = np.array([
+            (np.mean(self.case_success[c][-10:])
+             if len(self.case_success[c]) > 1 else 0.0)
+            for c in np.asarray(case_ids)
+        ])
+        fail = np.clip(1.0 - rates, 0.005, 1.0)
+        fail = fail / fail.sum()
+        uniform = np.full(len(fail), 1.0 / len(fail))
+        return 0.8 * fail + 0.2 * uniform

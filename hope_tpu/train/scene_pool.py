@@ -53,11 +53,25 @@ class ScenePool:
 
     def __init__(self, env_cfg: EnvConfig, per_level: int = 256,
                  dlp: DLPDataset | None = None, seed: int = 0,
-                 include_dlp: bool = True):
+                 include_dlp: bool = True, stream_dlp: bool = False):
+        """``stream_dlp``: keep the DLP bank off-device — each refresh's case
+        batch is host-gathered by the native mmap'd SceneBank, and the NEXT
+        refresh's gather runs as an async prefetch overlapping device compute
+        (the scalable path for banks that outgrow HBM).  Curriculum case ids
+        then take effect one refresh late (the prefetch was issued with the
+        previous refresh's choices — same one-step lag as the reset queue)."""
         self.env_cfg = env_cfg
         self.per_level = per_level
         self.include_dlp = include_dlp
-        self.dlp = dlp if dlp is not None else (DLPDataset(env_cfg=env_cfg) if include_dlp else None)
+        self.stream: "StreamingDLP | None" = None
+        if include_dlp and stream_dlp and dlp is None:
+            from ..envs.dlp import StreamingDLP
+
+            self.stream = StreamingDLP(env_cfg=env_cfg)
+            self.dlp = None
+        else:
+            self.dlp = dlp if dlp is not None else (
+                DLPDataset(env_cfg=env_cfg) if include_dlp else None)
         self.key = jax.random.PRNGKey(seed)
         self.pool: Scene | None = None
         self.dlp_case_ids: np.ndarray | None = None
@@ -85,12 +99,20 @@ class ScenePool:
                 scenes = jax.tree.map(lambda x: x[jnp.asarray(idx)], scenes)
             parts.append(pad_scene_batch(scenes, cfg.max_edges, cfg.max_obstacles))
         if self.include_dlp:
+            src = self.stream if self.stream is not None else self.dlp
             ids = (np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
-                   .integers(0, self.dlp.n_cases, self.per_level)
-                   if dlp_case_ids is None else dlp_case_ids)
-            self.dlp_case_ids = np.asarray(ids)
+                   .integers(0, src.n_cases, self.per_level)
+                   if dlp_case_ids is None else np.asarray(dlp_case_ids))
             keys = jax.random.split(self._next_key(), self.per_level)
-            dlp_scenes = self.dlp.batch_reset(keys, jnp.asarray(self.dlp_case_ids))
+            if self.stream is not None:
+                if self.stream._pending_ids is None:      # cold start
+                    self.stream.prefetch(ids)
+                dlp_scenes, used = self.stream.take_scenes(keys)
+                self.stream.prefetch(ids)                 # overlap next refresh
+                self.dlp_case_ids = used
+            else:
+                self.dlp_case_ids = ids
+                dlp_scenes = self.dlp.batch_reset(keys, jnp.asarray(ids))
             parts.append(pad_scene_batch(dlp_scenes, cfg.max_edges, cfg.max_obstacles))
         self.pool = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
 

@@ -38,6 +38,8 @@ def main(argv=None):
                     help="refresh the scene pool every N chunks")
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the env batch over a ('dp',) mesh of N devices")
     ap.add_argument("--save-every", type=int, default=20)
     ap.add_argument("--log-dir", type=str, default="log/ppo")
     ap.add_argument("--seed", type=int, default=42)
@@ -48,7 +50,7 @@ def main(argv=None):
 
     if args.smoke:
         args.episodes = 6
-        args.batch_envs = 4
+        args.batch_envs = max(4, 2 * args.devices)
         args.buffer_steps = 8
         args.pool_per_level = 4
         args.no_img = True
@@ -75,17 +77,37 @@ def main(argv=None):
     scene_chooser = SceneChoose(rng=np.random.default_rng(args.seed))
     dlp_chooser = DlpCaseChoose(rng=np.random.default_rng(args.seed + 1))
     rng = np.random.default_rng(args.seed + 2)
-    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng)
+    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng,
+                                      dlp_chooser=None if args.no_dlp else dlp_chooser)
 
     B = args.batch_envs
     T = args.buffer_steps
     R = B * T
 
+    mesh = None
+    if args.devices > 1:
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices}: only {len(devs)} device(s) visible")
+        if B % args.devices:
+            raise SystemExit("--batch-envs must be divisible by --devices")
+        mesh = make_mesh(devs[: args.devices])
+
     start_idx = queue_sampler.sample(B)
     pool_idx = jnp.asarray(start_idx, jnp.int32)
     scenes = pool.gather(start_idx)
+    if mesh is not None:
+        scenes = shard_batch(scenes, mesh)
+        pool_idx = shard_batch(pool_idx, mesh)
+        pool.pool = replicate(pool.pool, mesh)
+        ppo_state = replicate(ppo_state, mesh)
     env_state, obs = env.batch_reset(scenes)
     hybrid = HybridState.create(B, env_cfg.rs_queue_len)
+    if mesh is not None:
+        hybrid = shard_batch(hybrid, mesh)
 
     chunk_fn = build_ppo_chunk(env, agent, env_cfg.step_ratio, T)
 
@@ -107,6 +129,10 @@ def main(argv=None):
             break
         n_chunk += 1
         reset_queue = jnp.asarray(queue_sampler.sample(R), jnp.int32)
+        if mesh is not None:
+            from ..parallel.mesh import replicate as _rep
+
+            reset_queue = _rep(reset_queue, mesh)
         key, k = jax.random.split(key)
         (ppo_state, env_state, hybrid, obs, pool_idx, logs,
          metrics) = chunk_fn(ppo_state, env_state, hybrid, obs, pool_idx,
@@ -128,6 +154,10 @@ def main(argv=None):
             dlp_ids = None if args.no_dlp else np.array(
                 [dlp_chooser.choose_case() for _ in range(args.pool_per_level)])
             pool.refresh(dlp_case_ids=dlp_ids)
+            if mesh is not None:
+                from ..parallel.mesh import replicate as _rep
+
+                pool.pool = _rep(pool.pool, mesh)
 
         sr = scene_chooser.recent_success()
         line = {
@@ -146,9 +176,10 @@ def main(argv=None):
         flat.update({f"success/{k}": v for k, v in line["success"].items()})
         writer.write(n_chunk, flat)
 
+        # mean-of-capped best gate (see train_sac.py — the reference's
+        # dominance rule deadlocks under batched training)
         capped = np.minimum(sr, TARGET_SUCCESS)
-        if episodes_done > 100 and np.all(capped >= best_success) and np.any(
-                capped > best_success):
+        if episodes_done > 100 and capped.mean() > best_success.mean() + 1e-9:
             best_success = capped
             save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
                             ppo_state, n_chunk)

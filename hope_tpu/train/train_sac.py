@@ -37,19 +37,34 @@ from .scene_pool import ScenePool
 
 
 class ResetQueueSampler:
-    """Fills each chunk's reset queue from the curriculum choosers."""
+    """Fills each chunk's reset queue from the curriculum choosers.
+
+    When a ``dlp_chooser`` is given, DLP resets pick their pool slot by the
+    per-case failure-rate weights (reference per-episode case re-pick,
+    train_HOPE_sac.py:70-97) instead of uniformly — the weights refresh every
+    queue fill, one chunk behind the episode statistics.
+    """
 
     def __init__(self, scene_chooser: SceneChoose, pool: ScenePool, rng,
-                 fill: int = 128):
+                 fill: int = 128, dlp_chooser: DlpCaseChoose | None = None):
         self.scene_chooser = scene_chooser
         self.pool = pool
         self.rng = rng
         self.fill = fill
+        self.dlp_chooser = dlp_chooser
 
     def sample(self, size: int) -> np.ndarray:
         m = min(self.fill, size)
         levels = self.scene_chooser.sample_levels(m) % self.pool.n_levels
         slots = self.rng.integers(0, self.pool.per_level, m)
+        if (self.dlp_chooser is not None
+                and self.pool.dlp_case_ids is not None):
+            dlp_level = LEVELS.index("dlp")
+            is_dlp = levels == dlp_level
+            if is_dlp.any():
+                w = self.dlp_chooser.slot_weights(self.pool.dlp_case_ids)
+                slots[is_dlp] = self.rng.choice(
+                    self.pool.per_level, size=int(is_dlp.sum()), p=w)
         flat = self.pool.flat_index(levels, slots)
         reps = int(np.ceil(size / m))
         return np.tile(flat, reps)[:size].astype(np.int32)
@@ -71,6 +86,19 @@ def main(argv=None):
                     help="refresh the scene pool every N chunks")
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
+    ap.add_argument("--stream-dlp", action="store_true",
+                    help="host-stream DLP case batches from the native mmap'd "
+                         "bank with async prefetch instead of keeping the "
+                         "bank device-resident")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the env batch + replay over a ('dp',) mesh of "
+                         "N devices (params replicated, gradient psum by XLA)")
+    ap.add_argument("--img-encoder", type=str, default=None,
+                    help="orbax AE checkpoint dir: graft its encoder into the "
+                         "actor/critic image towers at init "
+                         "(reference train_HOPE_sac.py:160-162)")
+    ap.add_argument("--freeze-img-encoder", action="store_true",
+                    help="zero the grafted encoder's gradients during training")
     ap.add_argument("--save-every", type=int, default=200,
                     help="checkpoint every N chunks")
     ap.add_argument("--log-dir", type=str, default="log/sac")
@@ -85,7 +113,7 @@ def main(argv=None):
 
     if args.smoke:
         args.episodes = 8
-        args.batch_envs = 4
+        args.batch_envs = max(4, 2 * args.devices)
         args.chunk_steps = 4
         args.warmup_chunks = 1
         args.updates_per_step = 1
@@ -105,7 +133,8 @@ def main(argv=None):
     env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
                         max_obstacles=32 if args.no_dlp else 128)
     env = ParkingEnv(env_cfg)
-    sac_cfg = SACConfig(memory_size=args.memory, batch_size=args.sgd_batch)
+    sac_cfg = SACConfig(memory_size=args.memory, batch_size=args.sgd_batch,
+                        freeze_img_encoder=args.freeze_img_encoder)
     agent = SACAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg, action_input=True),
                      sac_cfg, env.observation_shape, env.mask_table)
 
@@ -113,21 +142,66 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     sac_state = agent.init(k_init)
 
-    pool = ScenePool(env_cfg, per_level=args.pool_per_level, include_dlp=not args.no_dlp)
+    if args.img_encoder:
+        # graft a pretrained BEV autoencoder's encoder into every image tower
+        # (reference train_HOPE_sac.py:160-162 -> network.py:158-162)
+        if args.no_img:
+            raise SystemExit("--img-encoder requires the image modality")
+        from ..models.autoencoder import AEConv, graft_encoder_params
+        from ..utils.checkpoint import load_checkpoint
+
+        ae = AEConv(actor_net_config(obs_cfg))
+        tmpl = ae.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 3, obs_cfg.img_size, obs_cfg.img_size)))
+        ae_params = load_checkpoint(args.img_encoder, tmpl)
+        graft = lambda p: graft_encoder_params(p, ae_params)  # noqa: E731
+        sac_state = sac_state.replace(
+            actor=graft(sac_state.actor),
+            critic1=graft(sac_state.critic1), critic2=graft(sac_state.critic2),
+            target1=graft(sac_state.target1), target2=graft(sac_state.target2))
+        print(json.dumps({"img_encoder": args.img_encoder,
+                          "frozen": args.freeze_img_encoder}), flush=True)
+
+    pool = ScenePool(env_cfg, per_level=args.pool_per_level,
+                     include_dlp=not args.no_dlp, stream_dlp=args.stream_dlp)
     scene_chooser = SceneChoose(rng=np.random.default_rng(args.seed))
     dlp_chooser = DlpCaseChoose(rng=np.random.default_rng(args.seed + 1))
     rng = np.random.default_rng(args.seed + 2)
-    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng)
+    queue_sampler = ResetQueueSampler(scene_chooser, pool, rng,
+                                      dlp_chooser=None if args.no_dlp else dlp_chooser)
 
     B = args.batch_envs
     K = args.chunk_steps
     R = B * K  # worst-case resets per chunk
 
+    mesh = None
+    if args.devices > 1:
+        # ('dp',) scenario-parallel mesh: env batch, hybrid queues, pool
+        # indices and the replay ring shard over devices; params and the scene
+        # pool replicate; XLA inserts the gradient psum when the jitted update
+        # consumes the sharded replay sample (SURVEY.md 2b).
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(
+                f"--devices {args.devices}: only {len(devs)} device(s) visible")
+        if B % args.devices or args.memory % args.devices:
+            raise SystemExit("--batch-envs and --memory must be divisible by --devices")
+        mesh = make_mesh(devs[: args.devices])
+
     start_idx = queue_sampler.sample(B)
     pool_idx = jnp.asarray(start_idx, jnp.int32)
     scenes = pool.gather(start_idx)
+    if mesh is not None:
+        scenes = shard_batch(scenes, mesh)
+        pool_idx = shard_batch(pool_idx, mesh)
+        pool.pool = replicate(pool.pool, mesh)
+        sac_state = replicate(sac_state, mesh)
     env_state, obs = env.batch_reset(scenes)
     hybrid = HybridState.create(B, env_cfg.rs_queue_len)
+    if mesh is not None:
+        hybrid = shard_batch(hybrid, mesh)
 
     example = {k: v[0] for k, v in obs.items()}
     transition = {}
@@ -139,6 +213,10 @@ def main(argv=None):
     transition["done"] = jnp.zeros((), bool)
     transition["log_prob"] = jnp.zeros(())
     replay = replay_create(args.memory, transition)
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch as _shard
+
+        replay = replay.replace(data=_shard(replay.data, mesh))
 
     chunk_fn = build_sac_chunk(env, agent, env_cfg.step_ratio, K,
                                K * args.updates_per_step, args.sgd_batch)
@@ -167,6 +245,10 @@ def main(argv=None):
 
         warmup = n_chunk <= args.warmup_chunks
         reset_queue = jnp.asarray(queue_sampler.sample(R), jnp.int32)
+        if mesh is not None:
+            from ..parallel.mesh import replicate as _rep
+
+            reset_queue = _rep(reset_queue, mesh)
         key, k = jax.random.split(key)
         (sac_state, env_state, hybrid, obs, pool_idx, replay, logs,
          metrics) = chunk_fn(sac_state, env_state, hybrid, obs, pool_idx,
@@ -188,6 +270,10 @@ def main(argv=None):
             dlp_ids = None if args.no_dlp else np.array(
                 [dlp_chooser.choose_case() for _ in range(args.pool_per_level)])
             pool.refresh(dlp_case_ids=dlp_ids)
+            if mesh is not None:
+                from ..parallel.mesh import replicate as _rep
+
+                pool.pool = _rep(pool.pool, mesh)
 
         if n_chunk % 5 == 0 or episodes_done >= args.episodes:
             sr = scene_chooser.recent_success()
@@ -209,11 +295,16 @@ def main(argv=None):
             flat.update({f"success/{k}": v for k, v in line["success"].items()})
             writer.write(n_chunk, flat)
 
-            # best-checkpoint gate: all levels simultaneously >= previous best,
-            # capped at the curriculum targets (reference :252-266)
+            # best-checkpoint gate on mean target-capped success.  The
+            # reference's all-levels-dominate rule (:252-266) deadlocks under
+            # batched training: one early lucky window (e.g. dlp 0.6 at chunk
+            # 5 from RS takeovers of a random policy) sets a per-level bar
+            # that later, genuinely better policies never dominate on every
+            # level simultaneously — round 2's "best" checkpoint froze at
+            # chunk 5 because of it.  Mean-of-capped keeps "best" monotone in
+            # overall quality while the targets still weight the levels.
             capped = np.minimum(sr, TARGET_SUCCESS)
-            if episodes_done > 100 and np.all(capped >= best_success) and np.any(
-                    capped > best_success):
+            if episodes_done > 100 and capped.mean() > best_success.mean() + 1e-9:
                 best_success = capped
                 save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
                                 sac_state, n_chunk)

@@ -56,3 +56,52 @@ def test_dlp_case_choose_weights_failures():
 
 def test_targets_match_reference():
     np.testing.assert_allclose(TARGET_SUCCESS, [0.95, 0.95, 0.90, 0.99])
+
+
+def test_slot_weights_oversample_failing_cases():
+    ch = DlpCaseChoose(n_cases=10, rng=np.random.default_rng(3))
+    # case 0 always fails, case 1 always succeeds; others unseen
+    for _ in range(12):
+        ch.update_success_record(0, case_id=0)
+        ch.update_success_record(1, case_id=1)
+    case_ids = np.arange(10)
+    w = ch.slot_weights(case_ids)
+    assert w.shape == (10,)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+    assert w[0] > w[1]                     # failing case oversampled
+    assert (w > 0).all()                   # uniform floor keeps everything live
+    # repeated case ids get the same weight
+    w2 = ch.slot_weights(np.array([0, 0, 1]))
+    np.testing.assert_allclose(w2[0], w2[1])
+
+
+def test_reset_queue_sampler_reweights_dlp_slots():
+    from hope_tpu.train.train_sac import ResetQueueSampler
+
+    class FakePool:
+        n_levels = 4
+        per_level = 8
+        dlp_case_ids = np.arange(8)
+
+        def flat_index(self, levels, slots):
+            return levels * self.per_level + slots
+
+    ch = DlpCaseChoose(n_cases=8, rng=np.random.default_rng(0))
+    for _ in range(12):
+        ch.update_success_record(0, case_id=3)   # case 3 always fails
+        for c in range(8):
+            if c != 3:
+                ch.update_success_record(1, case_id=c)
+    sc = SceneChoose(rng=np.random.default_rng(1))
+    # saturate history so sample_levels draws all levels
+    for lv in range(4):
+        for _ in range(100):
+            sc.record_episode(lv, 1)
+    s = ResetQueueSampler(sc, FakePool(), np.random.default_rng(2),
+                          fill=4096, dlp_chooser=ch)
+    flat = s.sample(4096)
+    dlp = flat[(flat >= 3 * 8) & (flat < 4 * 8)] - 3 * 8
+    assert len(dlp) > 100
+    counts = np.bincount(dlp, minlength=8)
+    # failing case 3 drawn far more often than any passing case
+    assert counts[3] > 2 * counts[np.arange(8) != 3].max()

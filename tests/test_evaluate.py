@@ -32,6 +32,24 @@ def test_summarize_per_level_and_steps():
     np.testing.assert_allclose(s["success_steps_mean"], np.mean([10, 30, 50]))
 
 
+def test_summarize_respects_max_steps_cap():
+    # with a 100-step cap the 200-step episode is still over-cap, but the
+    # 50-step one remains under; with a 40-step cap it drops out too
+    metrics = {
+        "success": np.array([True, False]),
+        "steps": np.array([50, 200]),
+        "path_length": np.array([20.0, 80.0]),
+        "level": np.array([0, 0]),
+        "case_id": np.arange(2),
+        "status": np.array([1, 4]),
+        "finished": np.array([True, False]),
+    }
+    s100 = summarize(metrics, max_steps=100)
+    assert s100["per_level"]["Normal"]["path_length_mean"] == 20.0
+    s40 = summarize(metrics, max_steps=40)
+    assert s40["per_level"]["Normal"]["path_length_mean"] is None
+
+
 def _tiny_env_and_scenes(B=2):
     cfg = EnvConfig(obs=ObsConfig(use_img=False, mask_backend="xla"),
                     max_edges=16, max_obstacles=2, rs_max_points=32,

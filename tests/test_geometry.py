@@ -147,7 +147,9 @@ def test_clip_green_matches_sutherland_hodgman(rng):
         b = oracle.random_convex_quad(rng)
         sh = float(convex_clip_area_sh(jnp.asarray(a), jnp.asarray(b)))
         lb = float(convex_clip_area(jnp.asarray(a), jnp.asarray(b)))
-        np.testing.assert_allclose(lb, sh, rtol=1e-4, atol=1e-6)
+        # atol: both formulations run in float32 with coordinates up to ~8
+        # (products ~64, eps*64 ~ 8e-6) — sliver areas differ at that ULP scale
+        np.testing.assert_allclose(lb, sh, rtol=1e-4, atol=1e-5)
 
 
 def test_clip_degenerate_shared_boundary():

@@ -177,3 +177,80 @@ def _no_img():
     from hope_tpu.config import ObsConfig
 
     return ObsConfig(use_img=False)
+
+def test_graft_encoder_into_actor_and_critic():
+    """AE encoder params land in both the actor (params/embed_img/...) and the
+    critic (params/net/embed_img/...) trees (reference network.py:158-162)."""
+    import flax
+
+    from hope_tpu.models.autoencoder import AEConv, graft_encoder_params
+
+    cfg = actor_net_config()
+    ae = AEConv(cfg)
+    ae_params = ae.init(jax.random.PRNGKey(3), jnp.zeros((1, 3, 64, 64)))
+
+    actor = MultiObsEmbedding(cfg)
+    a_params = actor.init(jax.random.PRNGKey(4), _obs())
+    critic = Critic(critic_net_config(action_input=True))
+    c_params = critic.init(jax.random.PRNGKey(5), _obs(), jnp.zeros((2, 2)))
+
+    a2 = graft_encoder_params(a_params, ae_params)
+    c2 = graft_encoder_params(c_params, ae_params)
+
+    enc = flax.traverse_util.flatten_dict(ae_params)
+    enc = {k[k.index("encoder") + 1:]: v for k, v in enc.items() if "encoder" in k}
+    for grafted, tree in ((a2, "actor"), (c2, "critic")):
+        flat = flax.traverse_util.flatten_dict(grafted)
+        hits = {k: v for k, v in flat.items() if "embed_img" in k}
+        n_match = 0
+        for k, v in hits.items():
+            suffix = k[k.index("embed_img") + 1:]
+            if suffix in enc:
+                np.testing.assert_array_equal(np.asarray(v), np.asarray(enc[suffix]),
+                                              err_msg=f"{tree} {k}")
+                n_match += 1
+        assert n_match > 0, tree
+
+
+def test_sac_frozen_img_encoder_stays_fixed():
+    """freeze_img_encoder: embed_img params identical after an update while
+    other actor params move (reference load_img_encoder require_grad=False)."""
+    import flax
+
+    from hope_tpu.agents import SACAgent
+
+    obs_shape = {"lidar": (120,), "target": (5,), "action_mask": (42,),
+                 "img": (3, 64, 64)}
+    agent = SACAgent(actor_net_config(), critic_net_config(action_input=True),
+                     SACConfig(freeze_img_encoder=True), obs_shape)
+    st = agent.init(jax.random.PRNGKey(0))
+    B = 4
+    batch = {
+        "obs/lidar": jnp.ones((B, 120)), "obs/target": jnp.ones((B, 5)),
+        "obs/action_mask": jnp.ones((B, 42)),
+        "obs/img": jnp.full((B, 3, 64, 64), 0.5),
+        "next_obs/lidar": jnp.ones((B, 120)), "next_obs/target": jnp.ones((B, 5)),
+        "next_obs/action_mask": jnp.ones((B, 42)),
+        "next_obs/img": jnp.full((B, 3, 64, 64), 0.5),
+        "action": jnp.zeros((B, 2)), "reward": jnp.ones(B),
+        "done": jnp.zeros(B, bool),
+    }
+    st2, _ = agent.update(st, batch, jax.random.PRNGKey(1))
+
+    def split(tree):
+        flat = flax.traverse_util.flatten_dict(tree)
+        img = {k: v for k, v in flat.items() if "embed_img" in k}
+        rest = {k: v for k, v in flat.items() if "embed_img" not in k}
+        return img, rest
+
+    for name, old, new in (("actor", st.actor, st2.actor),
+                           ("critic1", st.critic1, st2.critic1)):
+        img_old, rest_old = split(old)
+        img_new, rest_new = split(new)
+        for k in img_old:
+            np.testing.assert_array_equal(np.asarray(img_old[k]),
+                                          np.asarray(img_new[k]),
+                                          err_msg=f"{name} {k} moved")
+        moved = max(float(jnp.abs(rest_old[k] - rest_new[k]).max())
+                    for k in rest_old)
+        assert moved > 0, name
