@@ -42,10 +42,15 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
              ever_rs) = carry
             k_act, k_rand = jax.random.split(k)
             action, logp = policy_act(obs, k_act)
-            # stuck detector: identical target obs twice -> random action
+            # stuck detector: identical target obs twice -> random action.
+            # last_tgt is the PREVIOUS step's target (carried below as
+            # prev_tgt); carrying the post-step target instead would compare
+            # the obs with itself and randomize every action — the round-2
+            # eval bug that made batteries report random-policy numbers.
             stuck = jnp.all(jnp.abs(obs["target"] - last_tgt) < 1e-12, axis=-1)
             rand_a = jax.random.uniform(k_rand, action.shape, minval=-1.0, maxval=1.0)
             action = jnp.where(stuck[:, None], rand_a, action)
+            prev_tgt = obs["target"]
 
             queued = hybrid.queue[jnp.arange(B),
                                   jnp.clip(hybrid.cursor, 0, hybrid.queue.shape[1] - 1)]
@@ -76,10 +81,13 @@ def build_episode_runner(env: ParkingEnv, policy_act, policy_logp,
             obs = sel(obs, new_obs)
             out = state.vehicle.pose if record_traj else None
             return (state, obs, hybrid, finished, steps, path_len, status,
-                    obs["target"], ever_rs), out
+                    prev_tgt, ever_rs), out
 
+        # init last_tgt to +inf: the first step is never "stuck" (the
+        # reference's last_obs starts empty, eval_utils.py:46-48)
         init = (state, obs, hybrid, jnp.zeros(B, bool), jnp.zeros(B, jnp.int32),
-                jnp.zeros(B), jnp.full(B, -1, jnp.int32), obs["target"],
+                jnp.zeros(B), jnp.full(B, -1, jnp.int32),
+                jnp.full_like(obs["target"], jnp.inf),
                 jnp.zeros(B, bool))
         (state, obs, hybrid, finished, steps, path_len, status, _,
          ever_rs), poses = jax.lax.scan(

@@ -87,6 +87,45 @@ def test_episode_runner_forward_policy_arrives():
     assert (m["case_id"] == 7).all()
 
 
+def test_episode_runner_policy_actually_steers():
+    """Two different constant policies must produce different trajectories —
+    regression for the stuck-detector carrying the post-step target, which
+    compared the obs with itself and replaced EVERY action with a random one
+    (all round-2 eval batteries reported random-policy numbers)."""
+    env, scenes = _tiny_env_and_scenes()
+
+    def const(a):
+        def pa(obs, k):
+            B = obs["target"].shape[0]
+            return jnp.tile(jnp.asarray([a]), (B, 1)), jnp.zeros(B)
+        return pa
+
+    pl = lambda obs, a: jnp.zeros(a.shape[0])  # noqa: E731
+    run_f = build_episode_runner(env, const([0.0, 1.0]), pl, max_steps=12,
+                                 use_rs=False)
+    run_b = build_episode_runner(env, const([0.4, -1.0]), pl, max_steps=12,
+                                 use_rs=False)
+    mf = jax.tree.map(np.asarray, run_f(scenes, jax.random.PRNGKey(0)))
+    mb = jax.tree.map(np.asarray, run_b(scenes, jax.random.PRNGKey(0)))
+    assert not np.allclose(mf["path_length"], mb["path_length"])
+
+
+def test_episode_runner_stuck_detector_fires_when_frozen():
+    """A zero action never moves the car -> identical targets -> the stuck
+    detector's random actions produce nonzero motion (reference
+    eval_utils.py:46-48)."""
+    env, scenes = _tiny_env_and_scenes()
+
+    def pa(obs, k):
+        B = obs["target"].shape[0]
+        return jnp.zeros((B, 2)), jnp.zeros(B)
+
+    pl = lambda obs, a: jnp.zeros(a.shape[0])  # noqa: E731
+    run = build_episode_runner(env, pa, pl, max_steps=20, use_rs=False)
+    m = jax.tree.map(np.asarray, run(scenes, jax.random.PRNGKey(3)))
+    assert (m["path_length"] > 0.05).all()
+
+
 def test_episode_runner_freezes_after_done():
     env, scenes = _tiny_env_and_scenes()
 
