@@ -40,9 +40,8 @@ from .rs_select import build_action_queue, find_path_batch
 
 def rs_warm_start(env: ParkingEnv, poses, scenes, horizon: int):
     """Batched RS plan from current poses -> (us (B, H, 2) physical controls,
-    found (B,)).  Envs without a collision-free RS path get zero controls
-    (the iLQR then plans from scratch — the 'fallback' direction inverts the
-    reference's: there RS is the fallback for RL, here RS warm-starts MPC)."""
+    rs: RSPath).  Envs without a collision-free RS path get zero controls
+    (the iLQR then plans from scratch)."""
     cfg = env.cfg
     rs = find_path_batch(
         poses, scenes.dest, cfg.vehicle.max_curvature, env.corners,
@@ -53,34 +52,47 @@ def rs_warm_start(env: ParkingEnv, poses, scenes, horizon: int):
     q, _ = jax.vmap(
         lambda p: build_action_queue(p, cfg.step_ratio, horizon))(rs)
     scale = jnp.asarray([cfg.vehicle.max_steer, cfg.vehicle.max_speed])
-    return q * scale, rs.found
+    return q * scale, rs
 
 
 def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
-                     replan_every: int = 8, max_steps: int = 200):
+                     replan_every: int = 8, max_steps: int = 200,
+                     rs_exec: bool = True):
     """Jitted receding-horizon episode runner over a scene batch.
 
-    Every ``replan_every`` control steps: RS warm start (shifted previous plan
-    where no RS path validates) -> ``solve_batch`` refinement -> apply the
-    first ``replan_every`` refined controls with the batched env transition.
-    Finished envs freeze in place (same lockstep battery semantics as
-    ``evaluation.evaluate``).
+    Every ``replan_every`` control steps: batched RS search -> ``solve_batch``
+    refinement warm-started from the RS plan (or the shifted previous plan).
+    With ``rs_exec`` (default), a found RS plan is LATCHED and executed
+    verbatim through the endgame — it is collision-checked and terminates on
+    the goal by construction, so re-refining it can only wiggle the car off
+    the 95%-overlap slot.  The iLQR drives the approach phase (and any env
+    whose queue ran out without arriving).  This mirrors the reference's
+    RL+RS takeover split (``parking_agent.py:49-119``) with iLQR in the RL
+    seat.  Finished envs freeze in place (lockstep battery semantics).
     """
     H = ilqr_cfg.horizon
     M = replan_every
     n_outer = max(1, max_steps // M)
+    scale = jnp.asarray([env.cfg.vehicle.max_steer, env.cfg.vehicle.max_speed])
 
     @jax.jit
     def run(scenes):
+        from ..agents import HybridState, latch
+
         state = jax.vmap(env._init_state)(scenes)
         B = scenes.dest.shape[0]
 
         def outer(carry, _):
-            state, us_prev, finished, steps, path_len, status, ever_rs = carry
+            (state, us_prev, hybrid, finished, steps, path_len, status,
+             ever_rs) = carry
             pose = state.vehicle.pose
 
-            us_rs, found = rs_warm_start(env, pose, scenes, H)
-            ever_rs = ever_rs | (found & ~finished)
+            us_rs, rs = rs_warm_start(env, pose, scenes, H)
+            found = rs.found & ~finished
+            ever_rs = ever_rs | found
+            if rs_exec:
+                hybrid = latch(hybrid, rs._replace(found=found),
+                               env.cfg.step_ratio)
             us_shift = jnp.concatenate(
                 [us_prev[:, M:], jnp.zeros((B, M, 2))], axis=1)
             us_init = jnp.where(found[:, None, None], us_rs, us_shift)
@@ -90,7 +102,15 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                               env.cfg.vehicle)
 
             def inner(c, u_t):
-                state, finished, steps, path_len, status = c
+                state, hybrid, finished, steps, path_len, status = c
+                if rs_exec:
+                    ex = hybrid.executing
+                    queued = hybrid.queue[
+                        jnp.arange(B),
+                        jnp.clip(hybrid.cursor, 0, hybrid.queue.shape[1] - 1)]
+                    u_t = jnp.where(ex[:, None], queued * scale, u_t)
+                    hybrid = hybrid.replace(
+                        cursor=jnp.where(ex, hybrid.cursor + 1, hybrid.cursor))
                 prev_xy = jnp.stack([state.vehicle.x, state.vehicle.y], -1)
                 new_state, r, done, info = jax.vmap(
                     partial(env._transition, search_rs=False))(state, u_t)
@@ -107,18 +127,19 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                         finished.reshape((B,) + (1,) * (x.ndim - 1)), x, y),
                     a, b)
                 state = sel(state, new_state)
-                return (state, finished, steps, path_len, status), None
+                return (state, hybrid, finished, steps, path_len, status), None
 
             us_apply = jnp.transpose(res.us[:, :M], (1, 0, 2))   # (M, B, 2)
-            (state, finished, steps, path_len, status), _ = jax.lax.scan(
-                inner, (state, finished, steps, path_len, status), us_apply)
-            return (state, us_prev * 0 + res.us, finished, steps, path_len,
-                    status, ever_rs), res.cost
+            (state, hybrid, finished, steps, path_len, status), _ = \
+                jax.lax.scan(inner, (state, hybrid, finished, steps, path_len,
+                                     status), us_apply)
+            return (state, us_prev * 0 + res.us, hybrid, finished, steps,
+                    path_len, status, ever_rs), res.cost
 
-        init = (state, jnp.zeros((B, H, 2)), jnp.zeros(B, bool),
-                jnp.zeros(B, jnp.int32), jnp.zeros(B),
+        init = (state, jnp.zeros((B, H, 2)), HybridState.create(B, H),
+                jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B),
                 jnp.full(B, CONTINUE, jnp.int32), jnp.zeros(B, bool))
-        (state, _, finished, steps, path_len, status, ever_rs), costs = \
+        (state, _, hybrid, finished, steps, path_len, status, ever_rs), costs = \
             jax.lax.scan(outer, init, None, length=n_outer)
         return {
             "success": status == ARRIVED,
@@ -181,6 +202,9 @@ def main(argv=None):
     ap.add_argument("--ilqr-iters", type=int, default=12)
     ap.add_argument("--no-dlp", action="store_true",
                     help="procedural Normal battery instead of DLP mixed")
+    ap.add_argument("--no-rs-exec", action="store_true",
+                    help="ablation: refine+execute iLQR controls everywhere "
+                         "instead of executing latched RS plans verbatim")
     ap.add_argument("--out", type=str, default="log/mpc")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--smoke", action="store_true")
@@ -197,9 +221,16 @@ def main(argv=None):
                         max_edges=96 if args.no_dlp else 512,
                         max_obstacles=32 if args.no_dlp else 128)
     env = ParkingEnv(env_cfg)
+    # parking-tuned weights: arrival needs 95% slot overlap, so terminal
+    # precision dominates; running/control costs stay small or they pull the
+    # plan off the slot (CPU ablation: 0.375 -> 0.69 success on Normal@104
+    # steps vs the solver's generic defaults)
     ilqr_cfg = ILQRConfig(horizon=args.horizon, dt=env_cfg.vehicle.dt
                           * env_cfg.vehicle.n_substep,
-                          n_iters=args.ilqr_iters)
+                          n_iters=args.ilqr_iters,
+                          w_terminal_pos=300.0, w_terminal_heading=80.0,
+                          w_running_pos=0.05, w_control=0.05,
+                          w_steer_rate=0.2)
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
@@ -221,7 +252,8 @@ def main(argv=None):
                                  env_cfg.max_obstacles)
 
     os.makedirs(args.out, exist_ok=True)
-    run = build_mpc_runner(env, ilqr_cfg, args.replan_every, args.max_steps)
+    run = build_mpc_runner(env, ilqr_cfg, args.replan_every, args.max_steps,
+                           rs_exec=not args.no_rs_exec)
     t0 = time.perf_counter()
     metrics = jax.tree.map(np.asarray, run(scenes))
     t_ep = time.perf_counter() - t0

@@ -93,6 +93,12 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env batch + replay over a ('dp',) mesh of "
                          "N devices (params replicated, gradient psum by XLA)")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="orbax ckpt dir: restore the FULL training state "
+                         "(params, optimizers, Welford stats, counters)")
+    ap.add_argument("--init-params", type=str, default=None,
+                    help="orbax ckpt dir: restore params/normalizer only, "
+                         "fresh optimizers (reference load(params_only=True))")
     ap.add_argument("--img-encoder", type=str, default=None,
                     help="orbax AE checkpoint dir: graft its encoder into the "
                          "actor/critic image towers at init "
@@ -141,6 +147,18 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     sac_state = agent.init(k_init)
+
+    if args.resume:
+        from ..utils.checkpoint import load_checkpoint
+
+        sac_state = load_checkpoint(args.resume, sac_state)
+        print(json.dumps({"resumed": args.resume,
+                          "sgd_steps": int(sac_state.steps)}), flush=True)
+    elif args.init_params:
+        from ..utils.checkpoint import load_params_only
+
+        sac_state = load_params_only(args.init_params, sac_state)
+        print(json.dumps({"init_params": args.init_params}), flush=True)
 
     if args.img_encoder:
         # graft a pretrained BEV autoencoder's encoder into every image tower
