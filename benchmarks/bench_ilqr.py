@@ -57,12 +57,46 @@ def main(argv=None):
     jax.block_until_ready(out.cost)
     dt = (time.perf_counter() - t0) / n_rep
 
+    # split p50/p99 plan latency: RS search alone, iLQR solve alone
+    import numpy as np
+
+    from hope_tpu.envs import ParkingEnv
+    from hope_tpu.planning.rs_select import find_path_batch
+
+    env = ParkingEnv(env_cfg)
+
+    @jax.jit
+    def rs_only(x0):
+        return find_path_batch(x0, goal, env_cfg.vehicle.max_curvature,
+                               env.corners, scenes.edges, scenes.edge_mask,
+                               scenes.bounds, n_points=env_cfg.rs_max_points,
+                               step_m=env_cfg.rs_step_size,
+                               max_tries=env_cfg.rs_max_tries,
+                               use_pallas=env._pallas_mask)
+
+    def pct(fn, *fa, n=20):
+        jax.block_until_ready(fn(*fa))
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*fa))
+            ts.append(time.perf_counter() - t0)
+        ts = np.asarray(ts)
+        return {"p50_ms": round(float(np.percentile(ts, 50)) * 1e3, 2),
+                "p99_ms": round(float(np.percentile(ts, 99)) * 1e3, 2)}
+
+    rs_lat = pct(rs_only, x0)
+    ilqr_lat = pct(lambda x: solve_batch(x, goal, scenes.edges,
+                                         scenes.edge_mask, us0, cfg), x0)
+
     print(json.dumps({
         "metric": "ilqr_solves_per_sec_per_chip",
         "value": round(B / dt, 1),
         "unit": f"solves/s (B={B}, N={args.horizon}, {args.iters} iters, "
                 f"{int(out.converged.sum())}/{B} converged)",
         "vs_baseline": None,  # no iLQR exists in the reference
+        "plan_latency": {"find_path_batch": rs_lat, "solve_batch": ilqr_lat,
+                         "batch": B},
     }))
 
 
