@@ -143,3 +143,23 @@ def test_episode_runner_freezes_after_done():
     # extending the battery after everyone finished changes nothing
     np.testing.assert_array_equal(m1["steps"], m2["steps"])
     np.testing.assert_allclose(m1["path_length"], m2["path_length"], rtol=1e-6)
+
+
+def test_eval_mix_scene_cli_smoke(tmp_path):
+    """The eval CLI end-to-end on a tiny random-agent battery: per-level
+    reports + records + CDF plots land on disk."""
+    import json
+    import os
+
+    from hope_tpu.evaluation.eval_mix_scene import main
+
+    out = str(tmp_path / "eval")
+    results = main(["random", "--no-img", "--no-dlp", "--episodes", "4",
+                    "--max-steps", "6", "--out", out])
+    assert set(results) == {"Extrem", "Complex", "Normal"}
+    for lvl in results:
+        assert os.path.exists(os.path.join(out, f"result_{lvl}.json"))
+        assert os.path.exists(os.path.join(out, f"record_{lvl}.npz"))
+        r = json.load(open(os.path.join(out, f"result_{lvl}.json")))
+        assert 0.0 <= r["success_rate"] <= 1.0
+    assert os.path.exists(os.path.join(out, "result_all.json"))
