@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
     ap.add_argument("--max-steps", type=int, default=200)
+    ap.add_argument("--rs-tries", type=int, default=None,
+                    help="override rs_max_tries (candidate RS words "
+                         "collision-checked per endgame search)")
     ap.add_argument("--out", type=str, default="log/eval")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--visualize", type=int, default=0,
@@ -46,7 +49,9 @@ def main(argv=None):
     agent_type = args.agent or ("ppo" if "ppo" in args.ckpt.lower() else "sac")
     obs_cfg = ObsConfig(use_img=not args.no_img)
     env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
-                        max_obstacles=32 if args.no_dlp else 128)
+                        max_obstacles=32 if args.no_dlp else 128,
+                        **({"rs_max_tries": args.rs_tries}
+                           if args.rs_tries else {}))
     env = ParkingEnv(env_cfg)
 
     if agent_type == "sac":
