@@ -114,6 +114,15 @@ def main(argv=None):
     from ..utils.profiling import MetricsWriter, StepTimer
 
     os.makedirs(args.log_dir, exist_ok=True)
+    # run provenance (reference train_HOPE_sac.py:131)
+    import dataclasses
+    import sys
+
+    with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+        json.dump({"argv": sys.argv[1:], "args": vars(args),
+                   "env": dataclasses.asdict(env_cfg),
+                   "ppo": dataclasses.asdict(ppo_cfg)}, f, indent=2,
+                  default=str)
     writer = MetricsWriter(args.log_dir, tensorboard=not args.no_tensorboard)
     timer = StepTimer(unit="env-steps")
 
