@@ -200,6 +200,16 @@ def main(argv=None):
     ap.add_argument("--replan-every", type=int, default=8)
     ap.add_argument("--horizon", type=int, default=40)
     ap.add_argument("--ilqr-iters", type=int, default=12)
+    ap.add_argument("--rs-tries", type=int, default=None,
+                    help="override rs_max_tries (candidate RS words "
+                         "collision-checked per endgame search) — the DLP "
+                         "failure mode is RS-never-validated time-outs, so "
+                         "widening the search trades plan latency for "
+                         "success")
+    ap.add_argument("--rs-points", type=int, default=None,
+                    help="override rs_max_points (discretization budget per "
+                         "candidate; caps validatable path length at "
+                         "rs_points * rs_step_size metres)")
     ap.add_argument("--no-dlp", action="store_true",
                     help="procedural Normal battery instead of DLP mixed")
     ap.add_argument("--no-rs-exec", action="store_true",
@@ -217,9 +227,15 @@ def main(argv=None):
 
     enable_persistent_cache()
 
+    overrides = {}
+    if args.rs_tries:
+        overrides["rs_max_tries"] = args.rs_tries
+    if args.rs_points:
+        overrides["rs_max_points"] = args.rs_points
     env_cfg = EnvConfig(obs=ObsConfig(use_img=False, use_action_mask=False),
                         max_edges=96 if args.no_dlp else 512,
-                        max_obstacles=32 if args.no_dlp else 128)
+                        max_obstacles=32 if args.no_dlp else 128,
+                        **overrides)
     env = ParkingEnv(env_cfg)
     # parking-tuned weights: arrival needs 95% slot overlap, so terminal
     # precision dominates; running/control costs stay small or they pull the
@@ -265,6 +281,8 @@ def main(argv=None):
     summary["config"] = {"replan_every": args.replan_every,
                          "horizon": args.horizon,
                          "ilqr_iters": args.ilqr_iters,
+                         "rs_tries": env_cfg.rs_max_tries,
+                         "rs_points": env_cfg.rs_max_points,
                          "battery": "Normal" if args.no_dlp else "dlp"}
 
     lat = measure_plan_latency(env, ilqr_cfg, scenes,
