@@ -130,7 +130,7 @@ def main(argv=None):
     total_steps = 0
     n_chunk = 0
     reward_hist: list[float] = []
-    best_success = np.zeros(len(LEVELS))
+    best_score = (-1.0, -1.0)
     t_start = time.time()
 
     while episodes_done < args.episodes:
@@ -185,11 +185,13 @@ def main(argv=None):
         flat.update({f"success/{k}": v for k, v in line["success"].items()})
         writer.write(n_chunk, flat)
 
-        # mean-of-capped best gate (see train_sac.py — the reference's
-        # dominance rule deadlocks under batched training)
+        # lexicographic (capped mean, raw mean) best gate — see train_sac.py
+        # for why neither the reference's dominance rule nor plain
+        # mean-of-capped works under batched training
         capped = np.minimum(sr, TARGET_SUCCESS)
-        if episodes_done > 100 and capped.mean() > best_success.mean() + 1e-9:
-            best_success = capped
+        score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
+        if episodes_done > 100 and score > best_score:
+            best_score = score
             save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
                             ppo_state, n_chunk)
 

@@ -259,7 +259,7 @@ def main(argv=None):
     total_steps = 0
     n_chunk = 0
     reward_hist: list[float] = []
-    best_success = np.zeros(len(LEVELS))
+    best_score = (-1.0, -1.0)
     t_start = time.time()
 
     while episodes_done < args.episodes:
@@ -331,9 +331,15 @@ def main(argv=None):
             # level simultaneously — round 2's "best" checkpoint froze at
             # chunk 5 because of it.  Mean-of-capped keeps "best" monotone in
             # overall quality while the targets still weight the levels.
+            # lexicographic (capped mean, raw mean): once every target is hit
+            # in a window the capped mean saturates, and without the raw-mean
+            # tiebreak the gate would freeze there forever — round 3's
+            # saturated "best" (chunk 2115) scored 0.984 DLP on the battery
+            # while the final checkpoint (5.4x more training) scored 0.992.
             capped = np.minimum(sr, TARGET_SUCCESS)
-            if episodes_done > 100 and capped.mean() > best_success.mean() + 1e-9:
-                best_success = capped
+            score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
+            if episodes_done > 100 and score > best_score:
+                best_score = score
                 save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
                                 sac_state, n_chunk)
 
