@@ -266,8 +266,15 @@ class PPOAgent:
         mb = cfg.mini_batch
         n_mb = N // mb
 
+        def clip_gn(g, max_norm=0.5):
+            # global-norm clip at 0.5, the reference's gradient_clip semantics
+            # (ppo_agent.py:334-336, nn.utils.clip_grad_norm_(..., 0.5))
+            gn = optax.global_norm(g)
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(gn, 1e-9))
+            return jax.tree.map(lambda x: x * scale, g)
+
         def minibatch_step(carry, idx):
-            actor, log_std, critic, opt_a, opt_c = carry
+            actor, log_std, critic, opt_a, opt_c, stop = carry
             o = {k: v[idx] for k, v in obs.items()}
 
             def a_loss(p):
@@ -280,39 +287,57 @@ class PPOAgent:
                 loss = -jnp.minimum(s1, s2)
                 if cfg.policy_entropy:
                     loss = loss - cfg.entropy_coef * self._entropy(raw, ls)[:, None]
-                return jnp.mean(loss)
+                kl = jnp.mean(old_logp[idx] - logp)
+                return jnp.mean(loss), kl
 
             def c_loss(params):
                 v = self.critic_net.apply(params, o)
                 return jnp.mean((v_target[idx] - v) ** 2)
 
-            la, ga = jax.value_and_grad(a_loss)((actor, log_std))
+            (la, kl), ga = jax.value_and_grad(a_loss, has_aux=True)((actor, log_std))
             lc, gc = jax.value_and_grad(c_loss)(critic)
             if cfg.gradient_clip:
-                ga = jax.tree.map(lambda g: jnp.clip(g, -0.5, 0.5), ga)
-                gc = jax.tree.map(lambda g: jnp.clip(g, -0.5, 0.5), gc)
-            ua, opt_a = self.tx_actor.update(ga, opt_a, (actor, log_std))
-            actor, log_std = optax.apply_updates((actor, log_std), ua)
-            uc, opt_c = self.tx_critic.update(gc, opt_c, critic)
-            critic = optax.apply_updates(critic, uc)
-            return (actor, log_std, critic, opt_a, opt_c), (la, lc)
+                ga = clip_gn(ga)
+                gc = clip_gn(gc)
+            if cfg.target_kl is not None:
+                # KL early stop: once a minibatch's approx KL overshoots, this
+                # and every later minibatch of the pass leaves params AND
+                # optimizer state untouched (zeroing grads alone would still
+                # move params through Adam's momentum)
+                stop = stop | (kl > cfg.target_kl)
+            ua, opt_a_n = self.tx_actor.update(ga, opt_a, (actor, log_std))
+            actor_n, log_std_n = optax.apply_updates((actor, log_std), ua)
+            uc, opt_c_n = self.tx_critic.update(gc, opt_c, critic)
+            critic_n = optax.apply_updates(critic, uc)
+            if cfg.target_kl is not None:
+                keep = lambda old, new: jax.tree.map(  # noqa: E731
+                    lambda a, b: jnp.where(stop, a, b), old, new)
+                actor_n = keep(actor, actor_n)
+                log_std_n = keep(log_std, log_std_n)
+                critic_n = keep(critic, critic_n)
+                opt_a_n = keep(opt_a, opt_a_n)
+                opt_c_n = keep(opt_c, opt_c_n)
+            return (actor_n, log_std_n, critic_n, opt_a_n, opt_c_n, stop), (la, lc, kl)
 
-        carry = (st.actor, st.log_std, st.critic, st.opt_actor, st.opt_critic)
+        carry = (st.actor, st.log_std, st.critic, st.opt_actor, st.opt_critic,
+                 jnp.asarray(False))
         target = st.critic_target
         losses = []
         for e in range(cfg.mini_epoch):
             perm = jax.random.permutation(jax.random.fold_in(key, e), N)
             idxs = perm[: n_mb * mb].reshape(n_mb, mb)
-            carry, (la, lc) = jax.lax.scan(minibatch_step, carry, idxs)
+            carry, (la, lc, kl) = jax.lax.scan(minibatch_step, carry, idxs)
             # per-epoch Polyak target update (reference :340, tau from ConfigBase=0.1)
             target = jax.tree.map(
                 lambda t, c: t * (1 - cfg.tau) + c * cfg.tau, target, carry[2]
             )
-            losses.append((la[-1], lc[-1]))
+            losses.append((la[-1], lc[-1], kl[-1]))
 
-        actor, log_std, critic, opt_a, opt_c = carry
+        actor, log_std, critic, opt_a, opt_c, stopped = carry
         new_st = st.replace(actor=actor, log_std=log_std, critic=critic,
                             critic_target=target, opt_actor=opt_a,
                             opt_critic=opt_c, steps=st.steps + 1)
-        metrics = {"actor_loss": losses[-1][0], "critic_loss": losses[-1][1]}
+        metrics = {"actor_loss": losses[-1][0], "critic_loss": losses[-1][1],
+                   "approx_kl": losses[-1][2],
+                   "kl_stopped": stopped.astype(jnp.float32)}
         return new_st, metrics

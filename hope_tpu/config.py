@@ -307,6 +307,11 @@ class PPOConfig:
     n_discrete: int = 42
     lr_decay: str | None = None      # None, "linear", "exp"
     max_train_steps: int = 1_000_000
+    # KL early-stop guard (stabilizer beyond the reference, which has none and
+    # collapses on long runs — see runlogs/ppo_r3.log): once the approximate
+    # KL(old || new) of a minibatch exceeds this, the remaining minibatch
+    # updates of the whole buffer pass become no-ops.  None disables.
+    target_kl: float | None = None
 
 
 def actor_net_config(obs: ObsConfig = ObsConfig()) -> NetConfig:

@@ -51,7 +51,7 @@ def main(argv=None):
     env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
                         max_obstacles=32 if args.no_dlp else 128,
                         **({"rs_max_tries": args.rs_tries}
-                           if args.rs_tries else {}))
+                           if args.rs_tries is not None else {}))
     env = ParkingEnv(env_cfg)
 
     if agent_type == "sac":

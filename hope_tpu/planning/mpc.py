@@ -228,9 +228,9 @@ def main(argv=None):
     enable_persistent_cache()
 
     overrides = {}
-    if args.rs_tries:
+    if args.rs_tries is not None:
         overrides["rs_max_tries"] = args.rs_tries
-    if args.rs_points:
+    if args.rs_points is not None:
         overrides["rs_max_points"] = args.rs_points
     env_cfg = EnvConfig(obs=ObsConfig(use_img=False, use_action_mask=False),
                         max_edges=96 if args.no_dlp else 512,

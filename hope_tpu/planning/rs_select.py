@@ -5,7 +5,7 @@ with a fixed-iteration masked argmin cascade: each round picks the shortest
 untried candidate, sweeps its discretized trajectory against the obstacle edge
 set (the batched form of ``is_traj_valid`` :452-534), and stops logically when a
 collision-free path is found or the reference's early-exit rule fires
-(L > 1.6 x L_min after 3 tries).  Fixed shapes throughout — vmap over scenarios.
+(L > 1.6 x L_min after 2 tries).  Fixed shapes throughout — vmap over scenarios.
 """
 from __future__ import annotations
 
@@ -72,8 +72,10 @@ def find_path(
 
     Selection semantics mirror find_rs_path: candidates considered in
     ascending length; candidates with L > 1.6 x shortest are only eligible
-    among the first 3 (the reference's give-up rule, :441-444); the first
-    (shortest) collision-free eligible candidate wins.
+    among the first 2 (the reference's give-up rule :441-444 — ``idx`` is
+    incremented before the ``idx > 2`` check, so only the first two pops are
+    unconditional); the first (shortest) collision-free eligible candidate
+    wins.
 
     Unlike the reference's sequential heapdict pops — and this module's
     earlier argmin cascade — the ``max_tries`` shortest words are swept and
@@ -100,7 +102,7 @@ def find_path(
     )(poses, mask)
 
     rank = jnp.arange(max_tries)
-    eligible = jnp.isfinite(Ls) & ((rank < 3) | (Ls <= 1.6 * Ls[0]))
+    eligible = jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[0]))
     ok = eligible & ~collide
     found = jnp.any(ok)
     pick = jnp.argmax(ok)                              # first ok = shortest
@@ -169,7 +171,7 @@ def find_path_batch(
         )(poses, mask, edges, edge_masks, bounds)
 
     rank = jnp.arange(K)[None, :]
-    eligible = jnp.isfinite(Ls) & ((rank < 3) | (Ls <= 1.6 * Ls[:, :1]))
+    eligible = jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[:, :1]))
     ok = eligible & ~collide
     found = jnp.any(ok, axis=1)
     pick = jnp.argmax(ok, axis=1)
@@ -194,7 +196,9 @@ def build_action_queue(path: RSPath, step_ratio: float, queue_len: int = 32):
 
     Returns:
       actions: (Q, 2) [steer, speed] normalized to [-1, 1].
-      n_actions: () int32 live queue length.
+      n_actions: () int32 live queue length, clamped to ``queue_len`` — a plan
+        longer than the queue executes its first Q chunks and hands control
+        back, rather than replaying the final slot off-plan.
     """
     seg_steps = path.lengths / step_ratio              # (5,) signed chunk totals
     mag = jnp.abs(seg_steps)
@@ -216,4 +220,5 @@ def build_action_queue(path: RSPath, step_ratio: float, queue_len: int = 32):
     steer = path.steers[seg_idx]
     live = (q < total) & path.found
     actions = jnp.stack([steer, speed], axis=-1) * live[:, None]
+    total = jnp.minimum(total, queue_len)
     return actions, jnp.where(path.found, total, 0).astype(jnp.int32)

@@ -40,6 +40,16 @@ def main(argv=None):
     ap.add_argument("--no-dlp", action="store_true")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env batch over a ('dp',) mesh of N devices")
+    ap.add_argument("--lr-decay", type=str, default=None,
+                    choices=["linear", "exp"],
+                    help="lr schedule (reference agent_base.lr_decay :81-86)")
+    ap.add_argument("--max-train-steps", type=int, default=1_000_000,
+                    help="schedule horizon for --lr-decay (SGD steps)")
+    ap.add_argument("--gradient-clip", action="store_true",
+                    help="global-norm 0.5 clip (reference ppo_agent.py:334-336)")
+    ap.add_argument("--target-kl", type=float, default=None,
+                    help="KL early-stop guard per buffer pass (stabilizer "
+                         "beyond the reference; e.g. 0.03)")
     ap.add_argument("--save-every", type=int, default=20)
     ap.add_argument("--log-dir", type=str, default="log/ppo")
     ap.add_argument("--seed", type=int, default=42)
@@ -65,7 +75,11 @@ def main(argv=None):
                         max_obstacles=32 if args.no_dlp else 128)
     env = ParkingEnv(env_cfg)
     ppo_cfg = PPOConfig(mini_batch=32 if not args.smoke else 8,
-                        mini_epoch=10 if not args.smoke else 2)
+                        mini_epoch=10 if not args.smoke else 2,
+                        lr_decay=args.lr_decay,
+                        max_train_steps=args.max_train_steps,
+                        gradient_clip=args.gradient_clip,
+                        target_kl=args.target_kl)
     agent = PPOAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg),
                      ppo_cfg, env.observation_shape, env.mask_table)
 
@@ -177,6 +191,9 @@ def main(argv=None):
             "critic_loss": round(float(metrics["critic_loss"]), 4),
             "elapsed": round(time.time() - t_start, 1),
         }
+        if "approx_kl" in metrics:
+            line["approx_kl"] = round(float(metrics["approx_kl"]), 5)
+            line["kl_stopped"] = float(metrics["kl_stopped"])
         rate = timer.report()
         if rate and rate["unit_per_sec"]:
             line["env_steps_per_sec"] = round(rate["unit_per_sec"], 1)

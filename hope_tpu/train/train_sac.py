@@ -323,19 +323,15 @@ def main(argv=None):
             flat.update({f"success/{k}": v for k, v in line["success"].items()})
             writer.write(n_chunk, flat)
 
-            # best-checkpoint gate on mean target-capped success.  The
-            # reference's all-levels-dominate rule (:252-266) deadlocks under
-            # batched training: one early lucky window (e.g. dlp 0.6 at chunk
-            # 5 from RS takeovers of a random policy) sets a per-level bar
-            # that later, genuinely better policies never dominate on every
-            # level simultaneously — round 2's "best" checkpoint froze at
-            # chunk 5 because of it.  Mean-of-capped keeps "best" monotone in
-            # overall quality while the targets still weight the levels.
-            # lexicographic (capped mean, raw mean): once every target is hit
-            # in a window the capped mean saturates, and without the raw-mean
-            # tiebreak the gate would freeze there forever — round 3's
-            # saturated "best" (chunk 2115) scored 0.984 DLP on the battery
-            # while the final checkpoint (5.4x more training) scored 0.992.
+            # best-checkpoint gate: lexicographic (capped mean, raw mean) over
+            # the recent per-level success window.  The reference's
+            # all-levels-dominate rule (:252-266) deadlocks under batched
+            # training (one early lucky window sets a bar no later policy
+            # dominates on every level at once — round 2's "best" froze at
+            # chunk 5), and plain mean-of-capped saturates once every target
+            # is hit — the raw-mean tiebreak keeps the gate moving after that
+            # (round 3's saturated "best" scored 0.984 DLP on the battery vs
+            # the longer-trained final checkpoint's 0.992).
             capped = np.minimum(sr, TARGET_SUCCESS)
             score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
             if episodes_done > 100 and score > best_score:

@@ -89,3 +89,54 @@ def test_beta_moments_in_range():
     mean, std = agent._moments(raw, st.log_std)
     assert np.all(np.abs(np.asarray(mean)) <= 1.0)
     assert np.all(np.asarray(std) > 0)
+
+
+def _tiny_buffer(agent, st, key):
+    T, B = 4, 6
+    obs = _obs(jax.random.PRNGKey(1))
+    a, logp = agent.get_action(st, obs, jax.random.PRNGKey(2))
+    buf = {}
+    for k, shp in OBS_SHAPE.items():
+        buf[f"obs/{k}"] = jnp.zeros((T, B) + shp)
+        buf[f"next_obs/{k}"] = jnp.zeros((T, B) + shp)
+    buf["action"] = jnp.tile(a, (T, 1, 1))
+    buf["reward"] = jnp.ones((T, B)) * 0.1
+    buf["done"] = jnp.zeros((T, B), bool)
+    buf["log_prob"] = jnp.tile(logp, (T, 1))
+    return buf
+
+
+def test_target_kl_guard_freezes_params():
+    """With an always-tripped guard (target_kl < 0) NO minibatch applies: the
+    whole state — params AND optimizer slots — round-trips unchanged, and the
+    kl_stopped metric reports the stop."""
+    obs_cfg = ObsConfig(use_img=False)
+    cfg = PPOConfig(mini_batch=6, mini_epoch=2, target_kl=-1.0)
+    agent = PPOAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg),
+                     cfg, OBS_SHAPE, build_table())
+    st = agent.init(jax.random.PRNGKey(0))
+    buf = _tiny_buffer(agent, st, jax.random.PRNGKey(1))
+    st2, metrics = agent.update(st, buf, jax.random.PRNGKey(4))
+    assert float(metrics["kl_stopped"]) == 1.0
+    for name in ("actor", "critic", "log_std", "opt_actor", "opt_critic"):
+        same = jax.tree.map(
+            lambda x, y: bool(jnp.all(x == y)),
+            getattr(st, name), getattr(st2, name))
+        assert all(jax.tree.leaves(same)), f"{name} moved despite KL stop"
+
+
+def test_gradient_clip_global_norm():
+    """gradient_clip=True must keep updates finite and small-step (reference
+    clips the GLOBAL norm at 0.5, ppo_agent.py:334-336) and still move params
+    when the guard is off."""
+    obs_cfg = ObsConfig(use_img=False)
+    cfg = PPOConfig(mini_batch=6, mini_epoch=2, gradient_clip=True)
+    agent = PPOAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg),
+                     cfg, OBS_SHAPE, build_table())
+    st = agent.init(jax.random.PRNGKey(0))
+    buf = _tiny_buffer(agent, st, jax.random.PRNGKey(1))
+    st2, metrics = agent.update(st, buf, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["actor_loss"]))
+    moved = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))), st.actor, st2.actor)
+    assert max(jax.tree.leaves(moved)) > 0.0

@@ -121,6 +121,71 @@ def test_find_path_vmapped():
     assert out.lengths.shape == (B, 5)
 
 
+def test_eligibility_two_unconditional_tries():
+    """Reference give-up rule (car_parking_base.py:441-444): ``idx`` increments
+    before the ``idx > 2`` check, so only the FIRST TWO pops skip the
+    L <= 1.6 x L_min budget; from the 3rd candidate on, over-budget paths are
+    ineligible.  Pin that by reimplementing the pop loop as an oracle over the
+    same sorted candidate list."""
+    from hope_tpu.planning.rs_select import find_path as fp
+
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    bounds = jnp.asarray([-40.0, 40.0, -40.0, 40.0])
+    r = np.random.default_rng(7)
+    checked = 0
+    for _ in range(12):
+        start = jnp.asarray([0.0, 0.0, 0.0])
+        goal = jnp.asarray(
+            [r.uniform(2, 9), r.uniform(-6, 6), r.uniform(-3, 3)])
+        # short random clutter segments: some shortest words collide, some
+        # scenarios stay free
+        ctr = r.uniform(-8, 8, (6, 2))
+        delta = r.uniform(-1.0, 1.0, (6, 2))
+        edges = jnp.asarray(np.concatenate([ctr - delta, ctr + delta], axis=1))
+        emask = jnp.ones(6, bool)
+        K = 6
+        p = fp(start, goal, MAXC, corners, edges, emask, bounds, max_tries=K)
+
+        cand = rs.candidates(start, goal, MAXC)
+        L_m = np.asarray(cand.L) / MAXC
+        order = np.argsort(L_m)[:K]
+        # oracle: sequential pops with the reference's early-exit rule
+        from hope_tpu.planning.rs_select import traj_collides
+
+        expect_found, expect_L = False, np.inf
+        for rank, i in enumerate(order):
+            if not np.isfinite(L_m[i]):
+                break
+            if rank >= 2 and L_m[i] > 1.6 * L_m[order[0]]:
+                continue  # over budget, ineligible past the 2 free tries
+            poses, mask, _ = rs.sample_path(
+                cand.lengths[i], cand.steers[i], start, MAXC, 288, 0.1)
+            if not bool(traj_collides(poses, mask, corners, edges, emask,
+                                      bounds)):
+                expect_found, expect_L = True, L_m[i]
+                break
+        assert bool(p.found) == expect_found
+        if expect_found:
+            np.testing.assert_allclose(float(p.L), expect_L, rtol=1e-5)
+            checked += 1
+    assert checked >= 3
+
+
+def test_action_queue_clamps_to_queue_len():
+    """A plan longer than the queue truncates (n_actions == queue_len) instead
+    of replaying the last slot off-plan (ADVICE r3)."""
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([30.0, 0.0, 0.0])
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    bounds = jnp.asarray([-50.0, 50.0, -50.0, 50.0])
+    p = find_path(start, goal, MAXC, corners, jnp.zeros((4, 4)),
+                  jnp.zeros(4, bool), bounds, n_points=400)
+    assert bool(p.found)
+    step_ratio = CFG.dt * CFG.n_substep * CFG.max_speed
+    _, n = build_action_queue(p, step_ratio, queue_len=8)
+    assert int(n) == 8  # 30 m / 1.25 m = 24 chunks, clamped
+
+
 def test_action_queue_semantics():
     corners = jnp.asarray(CFG.box_corners(), jnp.float32)
     start = jnp.asarray([0.0, 0.0, 0.0])
