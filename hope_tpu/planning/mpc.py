@@ -7,7 +7,10 @@ only).  The RS selection feeding the warm start uses exactly the env's endgame
 search semantics (reference ``env/car_parking_base.py:413-450`` → masked
 parallel cascade in ``planning.rs_select``); the refinement is the batched
 Riccati solver in ``planning.ilqr``; execution uses the same first-event
-sub-step environment the RL agents train in.
+sub-step environment the RL agents train in.  The approach phase targets
+precomputed staging poses with verified RS completions (``planning.staging``)
+and the endgame search runs every control step (reference parity) — see
+``build_mpc_runner``.
 
 Reported metrics (all measured, not estimated):
   * success rate over the battery (arrival = 95% slot overlap);
@@ -57,7 +60,8 @@ def rs_warm_start(env: ParkingEnv, poses, scenes, horizon: int):
 
 def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                      replan_every: int = 8, max_steps: int = 200,
-                     rs_exec: bool = True):
+                     rs_exec: bool = True, step_rs: bool = True,
+                     use_staging: bool = True):
     """Jitted receding-horizon episode runner over a scene batch.
 
     Every ``replan_every`` control steps: batched RS search -> ``solve_batch``
@@ -69,16 +73,27 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
     whose queue ran out without arriving).  This mirrors the reference's
     RL+RS takeover split (``parking_agent.py:49-119``) with iLQR in the RL
     seat.  Finished envs freeze in place (lockstep battery semantics).
+
+    Round-4 approach-phase upgrades (the round-3 DLP failure mode was
+    RS-never-validated time-outs):
+      * ``step_rs``: the RS endgame search runs EVERY control step (reference
+        parity — ``car_parking_base.py:293-297`` searches each step within
+        10 m), not just at replan boundaries, so a trajectory passing through
+        an RS-validatable pose latches immediately instead of 8 steps later.
+      * ``use_staging``: iLQR targets the best precomputed staging pose with a
+        verified RS completion (``planning.staging``) instead of the slot
+        itself, steering the approach into RS-validatable territory.
     """
     H = ilqr_cfg.horizon
     M = replan_every
     n_outer = max(1, max_steps // M)
     scale = jnp.asarray([env.cfg.vehicle.max_steer, env.cfg.vehicle.max_speed])
 
-    @jax.jit
-    def run(scenes):
-        from ..agents import HybridState, latch
+    from ..agents import HybridState, latch
+    from .staging import pick_goal
 
+    @jax.jit
+    def run(scenes, staging=None):
         state = jax.vmap(env._init_state)(scenes)
         B = scenes.dest.shape[0]
 
@@ -97,12 +112,16 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                 [us_prev[:, M:], jnp.zeros((B, M, 2))], axis=1)
             us_init = jnp.where(found[:, None, None], us_rs, us_shift)
 
-            res = solve_batch(pose, scenes.dest, scenes.edges,
+            if use_staging and staging is not None:
+                goal, _ = pick_goal(staging, pose, scenes.dest)
+            else:
+                goal = scenes.dest
+            res = solve_batch(pose, goal, scenes.edges,
                               scenes.edge_mask, us_init, ilqr_cfg,
                               env.cfg.vehicle)
 
             def inner(c, u_t):
-                state, hybrid, finished, steps, path_len, status = c
+                state, hybrid, finished, steps, path_len, status, ever_rs = c
                 if rs_exec:
                     ex = hybrid.executing
                     queued = hybrid.queue[
@@ -122,17 +141,25 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                 path_len = path_len + jnp.where(active, moved, 0.0)
                 status = jnp.where(active & done, info["status"], status)
                 finished = finished | done
+                if rs_exec and step_rs:
+                    # per-step endgame search + latch, reference parity
+                    srs = env._batch_rs(new_state)
+                    sfound = srs.found & ~finished
+                    ever_rs = ever_rs | sfound
+                    hybrid = latch(hybrid, srs._replace(found=sfound),
+                                   env.cfg.step_ratio)
                 sel = lambda a, b: jax.tree.map(  # noqa: E731
                     lambda x, y: jnp.where(
                         finished.reshape((B,) + (1,) * (x.ndim - 1)), x, y),
                     a, b)
                 state = sel(state, new_state)
-                return (state, hybrid, finished, steps, path_len, status), None
+                return (state, hybrid, finished, steps, path_len, status,
+                        ever_rs), None
 
             us_apply = jnp.transpose(res.us[:, :M], (1, 0, 2))   # (M, B, 2)
-            (state, hybrid, finished, steps, path_len, status), _ = \
+            (state, hybrid, finished, steps, path_len, status, ever_rs), _ = \
                 jax.lax.scan(inner, (state, hybrid, finished, steps, path_len,
-                                     status), us_apply)
+                                     status, ever_rs), us_apply)
             return (state, us_prev * 0 + res.us, hybrid, finished, steps,
                     path_len, status, ever_rs), res.cost
 
@@ -215,6 +242,16 @@ def main(argv=None):
     ap.add_argument("--no-rs-exec", action="store_true",
                     help="ablation: refine+execute iLQR controls everywhere "
                          "instead of executing latched RS plans verbatim")
+    ap.add_argument("--no-step-rs", action="store_true",
+                    help="ablation: search the RS endgame only at replan "
+                         "boundaries (round-3 behavior) instead of every "
+                         "control step (reference parity)")
+    ap.add_argument("--no-staging", action="store_true",
+                    help="ablation: iLQR targets the slot pose directly "
+                         "(round-3 behavior) instead of the best staging "
+                         "pose with a verified RS completion")
+    ap.add_argument("--staging-tries", type=int, default=6,
+                    help="RS words collision-checked per staging candidate")
     ap.add_argument("--out", type=str, default="log/mpc")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--smoke", action="store_true")
@@ -227,7 +264,10 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    overrides = {}
+    # default to the wider endgame search for MPC: the failure mode is
+    # RS-never-validated time-outs, and round 3 measured rs-tries 12 at +2pp
+    # success for ~10% plan latency (results/result_mpc_dlp_rs12.json)
+    overrides = {"rs_max_tries": 12}
     if args.rs_tries is not None:
         overrides["rs_max_tries"] = args.rs_tries
     if args.rs_points is not None:
@@ -268,10 +308,27 @@ def main(argv=None):
                                  env_cfg.max_obstacles)
 
     os.makedirs(args.out, exist_ok=True)
+    use_staging = not args.no_staging
+    staging = None
+    t_stag = 0.0
+    if use_staging:
+        from .staging import compute_staging
+
+        t0 = time.perf_counter()
+        staging = jax.jit(
+            partial(compute_staging, env, max_tries=args.staging_tries)
+        )(scenes)
+        jax.block_until_ready(staging)
+        t_stag = time.perf_counter() - t0
+
     run = build_mpc_runner(env, ilqr_cfg, args.replan_every, args.max_steps,
-                           rs_exec=not args.no_rs_exec)
+                           rs_exec=not args.no_rs_exec,
+                           step_rs=not args.no_step_rs,
+                           use_staging=use_staging)
     t0 = time.perf_counter()
-    metrics = jax.tree.map(np.asarray, run(scenes))
+    metrics = jax.tree.map(np.asarray,
+                           run(scenes, staging) if use_staging
+                           else run(scenes))
     t_ep = time.perf_counter() - t0
 
     from ..evaluation.evaluate import summarize, write_report
@@ -283,7 +340,18 @@ def main(argv=None):
                          "ilqr_iters": args.ilqr_iters,
                          "rs_tries": env_cfg.rs_max_tries,
                          "rs_points": env_cfg.rs_max_points,
+                         "step_rs": not args.no_step_rs,
+                         "staging": use_staging,
                          "battery": "Normal" if args.no_dlp else "dlp"}
+    if use_staging:
+        n_valid = np.asarray(np.isfinite(np.asarray(staging.L)).sum(1))
+        summary["staging"] = {
+            "precompute_seconds": round(t_stag, 3),
+            "candidates": int(staging.L.shape[1]),
+            "scenes_with_valid_staging":
+                float((n_valid > 0).mean()),
+            "mean_valid_candidates": float(n_valid.mean()),
+        }
 
     lat = measure_plan_latency(env, ilqr_cfg, scenes,
                                n_calls=3 if args.smoke else 20)

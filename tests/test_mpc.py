@@ -52,3 +52,72 @@ def test_mpc_ilqr_only_runs_and_reports():
         assert k in m, k
     # the refined controls must actually move the car toward the goal
     assert (m["path_length"] > 1.0).all()
+
+
+def test_staging_open_scene_validates_and_picks():
+    from hope_tpu.planning.staging import (
+        N_STAGING, compute_staging, pick_goal, staging_candidates)
+
+    env, scenes = _env_and_scenes()
+    cands = staging_candidates(jnp.asarray([4.0, 0.0, 0.0]))
+    assert cands.shape == (N_STAGING, 3)
+
+    st = compute_staging(env, scenes, max_tries=4)
+    assert st.poses.shape == (2, N_STAGING, 3)
+    L = np.asarray(st.L)
+    # open room: many candidates have a valid RS completion
+    assert (np.isfinite(L).sum(axis=1) >= 4).all()
+    # valid completions are at least as long as the straight-line gap
+    d = np.linalg.norm(np.asarray(st.poses)[..., :2]
+                       - np.asarray(scenes.dest)[:, None, :2], axis=-1)
+    ok = np.isfinite(L)
+    assert (L[ok] >= d[ok] - 1e-3).all()
+
+    pose = jnp.tile(jnp.asarray([[-6.0, 0.0, 0.0]]), (2, 1))
+    goal, has = pick_goal(st, pose, scenes.dest)
+    assert bool(jnp.all(has))
+    # the chosen goal is a staging pose, not the slot itself
+    assert float(jnp.max(jnp.linalg.norm(goal[:, :2] - scenes.dest[:, :2],
+                                         axis=-1))) > 1.0
+
+
+def test_staging_blocked_scene_falls_back_to_dest():
+    from hope_tpu.planning.staging import compute_staging, pick_goal
+
+    cfg = EnvConfig(obs=ObsConfig(use_img=False, use_action_mask=False,
+                                  mask_backend="xla"),
+                    max_edges=16, max_obstacles=2, rs_max_points=64,
+                    rs_max_tries=4)
+    env = ParkingEnv(cfg)
+    corners = jnp.asarray(cfg.vehicle.box_corners())
+    # a tight box ring right around the slot: nothing can reach it
+    ring = np.array([[2.5, -1.5], [5.5, -1.5], [5.5, 1.5], [2.5, 1.5]])
+    dest = [4.0, 0.0, 0.0]
+    dest_box = np.asarray(pose_to_box(jnp.asarray(dest), corners))
+    scene = make_scene([ring], [-8.0, 0.0, 0.0], dest, [-14, 14, -10, 10],
+                       level=0, case_id=1, dest_box=dest_box,
+                       max_edges=16, max_polys=2)
+    scenes = stack_scenes([scene] * 2)
+    st = compute_staging(env, scenes, max_tries=4)
+    assert not bool(jnp.any(jnp.isfinite(st.L)))
+    pose = jnp.tile(jnp.asarray([[-8.0, 0.0, 0.0]]), (2, 1))
+    goal, has = pick_goal(st, pose, scenes.dest)
+    assert not bool(jnp.any(has))
+    np.testing.assert_allclose(np.asarray(goal), np.asarray(scenes.dest))
+
+
+def test_mpc_staging_step_rs_parks():
+    """Full round-4 configuration: staging target + per-step RS latch."""
+    from hope_tpu.planning.staging import compute_staging
+
+    env, scenes = _env_and_scenes()
+    dt = env.cfg.vehicle.dt * env.cfg.vehicle.n_substep
+    cfg = ILQRConfig(horizon=12, dt=dt, n_iters=3,
+                     w_terminal_pos=300.0, w_terminal_heading=80.0,
+                     w_running_pos=0.05, w_control=0.05, w_steer_rate=0.2)
+    st = compute_staging(env, scenes, max_tries=4)
+    run = build_mpc_runner(env, cfg, replan_every=4, max_steps=24,
+                           step_rs=True, use_staging=True)
+    m = jax.tree.map(np.asarray, run(scenes, st))
+    assert m["success"].all(), m["status"]
+    assert m["rs_latched"].all()
