@@ -146,6 +146,9 @@ def summarize(metrics: dict, max_steps: int = 200) -> dict:
                  | (status[m] == OUTTIME)).mean()),
             "rs_latched": float(rs[m].mean()),
         }
+        if "way_latched" in metrics:
+            out["per_level"][name]["way_latched"] = float(
+                np.asarray(metrics["way_latched"])[m].mean())
     return out
 
 

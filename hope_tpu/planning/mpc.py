@@ -82,15 +82,22 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
         an RS-validatable pose latches immediately instead of 8 steps later.
       * ``use_staging``: iLQR targets the best precomputed staging pose with a
         verified RS completion (``planning.staging``) instead of the slot
-        itself, steering the approach into RS-validatable territory.
+        itself, steering the approach into RS-validatable territory — and
+        every replan additionally attempts a TWO-SEGMENT latch
+        (``staging.waypoint_latch``): RS(pose -> staging) + RS(staging ->
+        dest), both swept-collision-checked, executed verbatim.  The direct
+        endgame latch keeps priority; the two-segment path is what closes
+        cluttered scenes whose direct RS validity manifold is too thin for
+        the approach to wander onto.
     """
     H = ilqr_cfg.horizon
     M = replan_every
     n_outer = max(1, max_steps // M)
+    q_len = max(64, H)
     scale = jnp.asarray([env.cfg.vehicle.max_steer, env.cfg.vehicle.max_speed])
 
     from ..agents import HybridState, latch
-    from .staging import pick_goal
+    from .staging import pick_goal, waypoint_latch
 
     @jax.jit
     def run(scenes, staging=None):
@@ -99,7 +106,7 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
 
         def outer(carry, _):
             (state, us_prev, hybrid, finished, steps, path_len, status,
-             ever_rs) = carry
+             ever_rs, ever_way) = carry
             pose = state.vehicle.pose
 
             us_rs, rs = rs_warm_start(env, pose, scenes, H)
@@ -108,6 +115,11 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
             if rs_exec:
                 hybrid = latch(hybrid, rs._replace(found=found),
                                env.cfg.step_ratio)
+            if rs_exec and use_staging and staging is not None:
+                hybrid, wl = waypoint_latch(env, staging, pose, scenes,
+                                            hybrid, ~finished,
+                                            env.cfg.step_ratio)
+                ever_way = ever_way | wl
             us_shift = jnp.concatenate(
                 [us_prev[:, M:], jnp.zeros((B, M, 2))], axis=1)
             us_init = jnp.where(found[:, None, None], us_rs, us_shift)
@@ -121,7 +133,8 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                               env.cfg.vehicle)
 
             def inner(c, u_t):
-                state, hybrid, finished, steps, path_len, status, ever_rs = c
+                (state, hybrid, finished, steps, path_len, status,
+                 ever_rs, ever_way) = c
                 if rs_exec:
                     ex = hybrid.executing
                     queued = hybrid.queue[
@@ -154,19 +167,22 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                     a, b)
                 state = sel(state, new_state)
                 return (state, hybrid, finished, steps, path_len, status,
-                        ever_rs), None
+                        ever_rs, ever_way), None
 
             us_apply = jnp.transpose(res.us[:, :M], (1, 0, 2))   # (M, B, 2)
-            (state, hybrid, finished, steps, path_len, status, ever_rs), _ = \
+            (state, hybrid, finished, steps, path_len, status, ever_rs,
+             ever_way), _ = \
                 jax.lax.scan(inner, (state, hybrid, finished, steps, path_len,
-                                     status, ever_rs), us_apply)
+                                     status, ever_rs, ever_way), us_apply)
             return (state, us_prev * 0 + res.us, hybrid, finished, steps,
-                    path_len, status, ever_rs), res.cost
+                    path_len, status, ever_rs, ever_way), res.cost
 
-        init = (state, jnp.zeros((B, H, 2)), HybridState.create(B, H),
+        init = (state, jnp.zeros((B, H, 2)), HybridState.create(B, q_len),
                 jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B),
-                jnp.full(B, CONTINUE, jnp.int32), jnp.zeros(B, bool))
-        (state, _, hybrid, finished, steps, path_len, status, ever_rs), costs = \
+                jnp.full(B, CONTINUE, jnp.int32), jnp.zeros(B, bool),
+                jnp.zeros(B, bool))
+        (state, _, hybrid, finished, steps, path_len, status, ever_rs,
+         ever_way), costs = \
             jax.lax.scan(outer, init, None, length=n_outer)
         return {
             "success": status == ARRIVED,
@@ -175,6 +191,7 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
             "status": status,
             "finished": finished,
             "rs_latched": ever_rs,
+            "way_latched": ever_way,
             "level": scenes.level,
             "case_id": scenes.case_id,
             "final_cost": costs[-1],

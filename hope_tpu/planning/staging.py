@@ -30,45 +30,50 @@ import jax.numpy as jnp
 
 from .rs_select import find_path_batch
 
-# slot-axis offsets (m) tried on both sides of the slot, lateral offsets for
-# parallel-style approaches, and the four axis-aligned candidate headings
-_AXIAL = (2.5, 4.0, 6.0)
-_LATERAL = (2.5, 4.0)
-_HEADINGS = (0.0, jnp.pi, jnp.pi / 2, -jnp.pi / 2)
+# dense polar grid around the slot: radii x position-angles x headings, all
+# relative to the slot heading.  The RS-validatable pose manifold is thin (the
+# trained RL policy finds it by fiddling — eval shows latching from scattered
+# poses), so a sparse hand-picked set misses it on ~half the scenes; a dense
+# grid recovers it at linear precompute cost (one batched RS search per
+# candidate, scanned).
+_RADII = (2.0, 3.0, 4.5, 6.0)
+_N_ANGLES = 8
+_N_HEADINGS = 8
 
 
-def staging_candidates(dest) -> jnp.ndarray:
-    """Fixed candidate staging poses for one scenario.
+def staging_candidates(dest,
+                       radii=_RADII,
+                       n_angles: int = _N_ANGLES,
+                       n_headings: int = _N_HEADINGS) -> jnp.ndarray:
+    """Dense candidate staging poses for one scenario.
 
     Args:
       dest: (3,) slot pose [x, y, heading].
 
     Returns:
-      (S, 3) candidate poses, S = len(_AXIAL)*2*4 + len(_LATERAL)*2*2.
+      (S, 3) candidate poses, S = len(radii) * n_angles * n_headings.
     """
     thd = dest[2]
-    u = jnp.stack([jnp.cos(thd), jnp.sin(thd)])          # slot axis
-    w = jnp.stack([-jnp.sin(thd), jnp.cos(thd)])         # slot normal
-    poses = []
-    for d in _AXIAL:
-        for sd in (1.0, -1.0):
-            xy = dest[:2] + sd * d * u
-            for h in _HEADINGS:
-                poses.append(jnp.concatenate([xy, (thd + h)[None]]))
-    for dw in _LATERAL:
-        for sw in (1.0, -1.0):
-            xy = dest[:2] + sw * dw * w
-            for h in (0.0, jnp.pi):
-                poses.append(jnp.concatenate([xy, (thd + h)[None]]))
-    return jnp.stack(poses)                              # (S, 3)
+    r = jnp.asarray(radii)                                    # (R,)
+    phi = thd + jnp.arange(n_angles) * (2 * jnp.pi / n_angles)  # (A,)
+    hd = thd + jnp.arange(n_headings) * (2 * jnp.pi / n_headings)  # (H,)
+    x = dest[0] + r[:, None] * jnp.cos(phi)[None, :]          # (R, A)
+    y = dest[1] + r[:, None] * jnp.sin(phi)[None, :]
+    xy = jnp.stack([x, y], axis=-1).reshape(-1, 2)            # (R*A, 2)
+    poses = jnp.concatenate(
+        [jnp.repeat(xy, n_headings, axis=0),
+         jnp.tile(hd, xy.shape[0])[:, None]], axis=1)         # (R*A*H, 3)
+    return poses
 
 
-N_STAGING = len(_AXIAL) * 2 * len(_HEADINGS) + len(_LATERAL) * 2 * 2
+N_STAGING = len(_RADII) * _N_ANGLES * _N_HEADINGS
 
 
 class StagingSet(NamedTuple):
-    poses: jnp.ndarray   # (B, S, 3)
-    L: jnp.ndarray       # (B, S) RS completion length, +inf where invalid
+    poses: jnp.ndarray    # (B, S, 3)
+    L: jnp.ndarray        # (B, S) RS completion length, +inf where invalid
+    lengths: jnp.ndarray  # (B, S, 5) completion segment lengths (signed, m)
+    steers: jnp.ndarray   # (B, S, 5) completion segment steers {-1, 0, 1}
 
 
 def compute_staging(env, scenes, max_tries: int = 6) -> StagingSet:
@@ -76,7 +81,9 @@ def compute_staging(env, scenes, max_tries: int = 6) -> StagingSet:
 
     One batched RS search per candidate slot (scanned, so memory stays at the
     per-candidate level); a candidate is valid iff a collision-free RS path
-    staging -> dest exists within ``max_tries`` shortest words.
+    staging -> dest exists within ``max_tries`` shortest words.  The winning
+    completion's segment decomposition is kept so the MPC runner can execute
+    it verbatim after reaching the staging pose (two-segment latching).
     """
     cfg = env.cfg
     cands = jax.vmap(staging_candidates)(scenes.dest)    # (B, S, 3)
@@ -88,13 +95,91 @@ def compute_staging(env, scenes, max_tries: int = 6) -> StagingSet:
             n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
             max_tries=max_tries, use_pallas=env._pallas_mask,
         )
-        return None, (rs.found, rs.L)
+        return None, (rs.found, rs.L, rs.lengths, rs.steers)
 
-    _, (valid, L) = jax.lax.scan(
-        body, None, jnp.transpose(cands, (1, 0, 2)))     # (S, B)
+    _, (valid, L, lengths, steers) = jax.lax.scan(
+        body, None, jnp.transpose(cands, (1, 0, 2)))     # leading dim S
     valid = valid.T                                      # (B, S)
     L = jnp.where(valid, L.T, jnp.inf)
-    return StagingSet(poses=cands, L=L)
+    return StagingSet(poses=cands, L=L,
+                      lengths=jnp.transpose(lengths, (1, 0, 2)),
+                      steers=jnp.transpose(steers, (1, 0, 2)))
+
+
+def concat_queues(q1, n1, q2, n2, queue_len: int):
+    """Concatenate two fixed-shape action queues: [q1[:n1], q2[:n2]], clamped
+    to ``queue_len`` (truncation ends execution mid-path and hands control
+    back — safe, the executed prefix is collision-checked)."""
+    idx = jnp.arange(queue_len)
+    take2 = jnp.clip(idx - n1, 0, queue_len - 1)
+    q = jnp.where((idx < n1)[:, None], q1, q2[take2])
+    n = jnp.minimum(n1 + n2, queue_len)
+    return q * (idx < n)[:, None], n
+
+
+def waypoint_latch(env, staging: StagingSet, pose, scenes, hybrid,
+                   active, step_ratio: float, k_best: int = 4):
+    """Two-segment RS latch: try RS(pose -> staging_s) for the ``k_best``
+    cheapest valid staging candidates; the first collision-free hit latches
+    the CONCATENATED plan [RS(pose -> s), RS(s -> dest)] — both segments
+    swept-collision-checked (the second at staging precompute), so the whole
+    ride into the slot is verified.  This is what closes the hardest DLP
+    cases: the direct endgame search from the current pose fails (thin
+    validity manifold), but a two-segment decomposition through a staging
+    pose exists and is found analytically instead of hoping iLQR wanders
+    onto the manifold.
+
+    Returns (hybrid', latched) — latched (B,) marks envs that adopted a plan.
+    """
+    from ..agents.hybrid import HybridState
+    from .rs_select import RSPath, build_action_queue, find_path_batch
+
+    cfg = env.cfg
+    B = pose.shape[0]
+    Q = hybrid.queue.shape[1]
+    ar = jnp.arange(B)
+
+    d = jnp.linalg.norm(pose[:, None, :2] - staging.poses[..., :2], axis=-1)
+    order = jnp.argsort(d + staging.L, axis=1)[:, :k_best]    # (B, K)
+
+    found_any = jnp.zeros(B, bool)
+    sel_rs1 = RSPath(found=jnp.zeros(B, bool), lengths=jnp.zeros((B, 5)),
+                     steers=jnp.zeros((B, 5)), L=jnp.full(B, jnp.inf))
+    sel_idx = jnp.zeros(B, jnp.int32)
+    for k in range(k_best):
+        s_idx = order[:, k]
+        s_pose = staging.poses[ar, s_idx]
+        rs1 = find_path_batch(
+            pose, s_pose, cfg.vehicle.max_curvature, env.corners,
+            scenes.edges, scenes.edge_mask, scenes.bounds,
+            n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
+            max_tries=cfg.rs_max_tries, use_pallas=env._pallas_mask,
+        )
+        ok = rs1.found & jnp.isfinite(staging.L[ar, s_idx]) & ~found_any
+        sel_rs1 = RSPath(
+            found=jnp.where(ok, True, sel_rs1.found),
+            lengths=jnp.where(ok[:, None], rs1.lengths, sel_rs1.lengths),
+            steers=jnp.where(ok[:, None], rs1.steers, sel_rs1.steers),
+            L=jnp.where(ok, rs1.L, sel_rs1.L))
+        sel_idx = jnp.where(ok, s_idx, sel_idx)
+        found_any = found_any | ok
+
+    rs2 = RSPath(found=found_any,
+                 lengths=staging.lengths[ar, sel_idx],
+                 steers=staging.steers[ar, sel_idx],
+                 L=staging.L[ar, sel_idx])
+    q1, n1 = jax.vmap(lambda p: build_action_queue(p, step_ratio, Q))(sel_rs1)
+    q2, n2 = jax.vmap(lambda p: build_action_queue(p, step_ratio, Q))(rs2)
+    qc, nc = jax.vmap(lambda a, b, c, e: concat_queues(a, b, c, e, Q))(
+        q1, n1, q2, n2)
+
+    take = found_any & active & ~hybrid.executing
+    new = HybridState(
+        queue=jnp.where(take[:, None, None], qc, hybrid.queue),
+        length=jnp.where(take, nc, hybrid.length),
+        cursor=jnp.where(take, 0, hybrid.cursor),
+    )
+    return new, take
 
 
 def pick_goal(staging: StagingSet, pose, dest):

@@ -80,6 +80,27 @@ class SceneChoose:
             out.append(np.mean(rec) if rec else 0.0)
         return np.array(out)
 
+    # ------------------------------------------------------- resume support
+    # Only bounded tails of the records are ever inspected (_uniform: last
+    # 200, _worst: last 250, recent_success: last 100), so checkpoints carry
+    # tails + the original length — the reconstructed head padding is never
+    # read, it only preserves the "first N episodes" length conditions.
+
+    def get_state(self) -> dict:
+        return {
+            "scene_len": len(self.scene_record),
+            "scene_tail": self.scene_record[-250:],
+            "success": {i: rec[-250:] for i, rec in self.success_record.items()},
+            "rng": self.rng.bit_generator.state,
+        }
+
+    def set_state(self, st: dict):
+        tail = list(st["scene_tail"])
+        pad = min(int(st["scene_len"]), 1000) - len(tail)
+        self.scene_record = [0] * max(0, pad) + tail
+        self.success_record = {int(i): list(v) for i, v in st["success"].items()}
+        self.rng.bit_generator.state = st["rng"]
+
 
 class DlpCaseChoose:
     def __init__(self, n_cases: int = 248, rng=None):
@@ -103,6 +124,23 @@ class DlpCaseChoose:
     def update_success_record(self, success: int, case_id: int):
         self.case_success[case_id].append(int(success))
         self.case_record.append(case_id)
+
+    def get_state(self) -> dict:
+        """Bounded-tail snapshot (choose_case/slot_weights read only the last
+        10 results per case and the record length vs the 500 horizon)."""
+        return {
+            "record_len": min(len(self.case_record), 1000),
+            "success": {i: rec[-10:] for i, rec in self.case_success.items()
+                        if rec},
+            "rng": self.rng.bit_generator.state,
+        }
+
+    def set_state(self, st: dict):
+        self.case_record = [0] * int(st["record_len"])
+        self.case_success = {i: [] for i in range(self.n_cases)}
+        for i, v in st["success"].items():
+            self.case_success[int(i)] = list(v)
+        self.rng.bit_generator.state = st["rng"]
 
     def slot_weights(self, case_ids) -> np.ndarray:
         """Failure-rate sampling weights over the pool's current DLP slots.

@@ -94,8 +94,15 @@ def main(argv=None):
                     help="shard the env batch + replay over a ('dp',) mesh of "
                          "N devices (params replicated, gradient psum by XLA)")
     ap.add_argument("--resume", type=str, default=None,
-                    help="orbax ckpt dir: restore the FULL training state "
-                         "(params, optimizers, Welford stats, counters)")
+                    help="orbax ckpt dir: restore the FULL training-loop "
+                         "state — agent pytree, replay ring, env/hybrid "
+                         "state, loop PRNG key, scene pool, curriculum "
+                         "chooser tails and rng states, counters (SURVEY §5). "
+                         "Falls back to agent-only restore for pre-round-4 "
+                         "checkpoints")
+    ap.add_argument("--max-chunks", type=int, default=0,
+                    help="stop after N chunks (0 = never; used by the "
+                         "kill-and-resume test)")
     ap.add_argument("--init-params", type=str, default=None,
                     help="orbax ckpt dir: restore params/normalizer only, "
                          "fresh optimizers (reference load(params_only=True))")
@@ -148,13 +155,7 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     sac_state = agent.init(k_init)
 
-    if args.resume:
-        from ..utils.checkpoint import load_checkpoint
-
-        sac_state = load_checkpoint(args.resume, sac_state)
-        print(json.dumps({"resumed": args.resume,
-                          "sgd_steps": int(sac_state.steps)}), flush=True)
-    elif args.init_params:
+    if args.init_params:
         from ..utils.checkpoint import load_params_only
 
         sac_state = load_params_only(args.init_params, sac_state)
@@ -236,6 +237,44 @@ def main(argv=None):
 
         replay = replay.replace(data=_shard(replay.data, mesh))
 
+    counters = None
+    if args.resume:
+        from .resume import device_blob, load_full, restore_host
+
+        tmpl = device_blob(sac_state, env_state, hybrid, obs, pool_idx,
+                           replay, key, pool.pool, pool.key)
+        dev, host, step = load_full(args.resume, tmpl)
+        if dev is None:
+            # pre-round-4 agent-only checkpoint
+            from ..utils.checkpoint import load_checkpoint
+
+            sac_state = load_checkpoint(args.resume, sac_state)
+            print(json.dumps({"resumed": args.resume, "mode": "agent-only",
+                              "sgd_steps": int(sac_state.steps)}), flush=True)
+        else:
+            sac_state = dev["agent"]
+            env_state, hybrid, obs = dev["env"], dev["hybrid"], dev["obs"]
+            pool_idx, replay, key = dev["pool_idx"], dev["replay"], dev["key"]
+            pool.pool, pool.key = dev["pool"], dev["pool_key"]
+            counters = restore_host(host, scene_chooser, dlp_chooser, rng)
+            if counters.get("dlp_case_ids") is not None:
+                pool.dlp_case_ids = np.asarray(counters["dlp_case_ids"])
+            if mesh is not None:
+                from ..parallel.mesh import replicate as _rep
+                from ..parallel.mesh import shard_batch as _shard
+
+                sac_state = _rep(sac_state, mesh)
+                env_state = _shard(env_state, mesh)
+                hybrid = _shard(hybrid, mesh)
+                obs = _shard(obs, mesh)
+                pool_idx = _shard(pool_idx, mesh)
+                replay = replay.replace(data=_shard(replay.data, mesh))
+                pool.pool = _rep(pool.pool, mesh)
+            print(json.dumps({"resumed": args.resume, "mode": "full",
+                              "chunk": counters["n_chunk"],
+                              "episodes": counters["episodes_done"]}),
+                  flush=True)
+
     chunk_fn = build_sac_chunk(env, agent, env_cfg.step_ratio, K,
                                K * args.updates_per_step, args.sgd_batch)
 
@@ -260,7 +299,28 @@ def main(argv=None):
     n_chunk = 0
     reward_hist: list[float] = []
     best_score = (-1.0, -1.0)
+    if counters is not None:
+        episodes_done = int(counters["episodes_done"])
+        total_steps = int(counters["total_steps"])
+        n_chunk = int(counters["n_chunk"])
+        best_score = tuple(counters["best_score"])
+        reward_hist = list(counters["reward_hist"])
     t_start = time.time()
+
+    def save_loop_ckpt():
+        """Full-fidelity periodic checkpoint (device pytree + host JSON)."""
+        from .resume import device_blob, host_blob, save_full
+
+        dev = device_blob(sac_state, env_state, hybrid, obs, pool_idx,
+                          replay, key, pool.pool, pool.key)
+        host = host_blob(scene_chooser, dlp_chooser, rng, {
+            "episodes_done": episodes_done, "total_steps": total_steps,
+            "n_chunk": n_chunk, "best_score": list(best_score),
+            "reward_hist": reward_hist[-1000:],
+            "dlp_case_ids": None if pool.dlp_case_ids is None
+            else np.asarray(pool.dlp_case_ids).tolist(),
+        })
+        save_full(os.path.join(args.log_dir, "ckpt"), n_chunk, dev, host)
 
     while episodes_done < args.episodes:
         if args.max_seconds and time.time() - t_start > args.max_seconds:
@@ -340,13 +400,16 @@ def main(argv=None):
                                 sac_state, n_chunk)
 
         if args.save_every and n_chunk % args.save_every == 0:
-            save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, n_chunk)
+            save_loop_ckpt()
             from ..evaluation.render import save_reward_curve
 
             save_reward_curve(os.path.join(args.log_dir, "reward_curve.png"),
                               reward_hist)
 
-    save_checkpoint(os.path.join(args.log_dir, "ckpt"), sac_state, n_chunk)
+        if args.max_chunks and n_chunk >= args.max_chunks:
+            break
+
+    save_loop_ckpt()
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 

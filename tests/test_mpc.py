@@ -121,3 +121,49 @@ def test_mpc_staging_step_rs_parks():
     m = jax.tree.map(np.asarray, run(scenes, st))
     assert m["success"].all(), m["status"]
     assert m["rs_latched"].all()
+
+
+def test_waypoint_latch_two_segment_plan_reaches_dest():
+    """The concatenated [RS(pose->staging), RS(staging->dest)] queue, executed
+    verbatim through the env, must land the car on the slot."""
+    from functools import partial
+    from hope_tpu.agents import HybridState
+    from hope_tpu.planning.staging import compute_staging, waypoint_latch
+
+    env, scenes = _env_and_scenes()
+    st = compute_staging(env, scenes, max_tries=4)
+    hybrid = HybridState.create(2, 64)
+    pose = jnp.tile(jnp.asarray([[-8.0, 4.0, 2.0]]), (2, 1))
+    active = jnp.ones(2, bool)
+    hybrid, latched = waypoint_latch(env, st, pose, scenes, hybrid, active,
+                                     env.cfg.step_ratio)
+    assert bool(jnp.all(latched))
+    n = int(hybrid.length[0])
+    assert n > 0
+
+    # execute the queue open-loop through the real env transition
+    state = jax.vmap(env._init_state)(scenes)
+    veh = state.vehicle
+    veh = veh._replace(x=pose[:, 0], y=pose[:, 1], heading=pose[:, 2])
+    state = state.replace(vehicle=veh)
+    scale = jnp.asarray([env.cfg.vehicle.max_steer, env.cfg.vehicle.max_speed])
+
+    def step(c, i):
+        state = c
+        a = hybrid.queue[jnp.arange(2), jnp.minimum(i, hybrid.length - 1)]
+        live = i < hybrid.length
+        a = a * live[:, None]
+        state, r, done, info = jax.vmap(
+            partial(env._transition, search_rs=False))(state, a * scale)
+        return state, info["status"]
+
+    state, statuses = jax.lax.scan(step, state, jnp.arange(64))
+    from hope_tpu.envs.rewards import ARRIVED
+    # either the env flagged arrival mid-queue, or the final pose is on the
+    # slot within the RS discretization tolerance
+    arrived = np.asarray((statuses == ARRIVED).any(axis=0))
+    fx = np.asarray(state.vehicle.x)
+    fy = np.asarray(state.vehicle.y)
+    dest = np.asarray(scenes.dest)
+    close = np.hypot(fx - dest[:, 0], fy - dest[:, 1]) < 0.3
+    assert (arrived | close).all(), (arrived, fx, fy, dest)
