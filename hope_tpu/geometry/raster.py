@@ -15,10 +15,14 @@ import jax.numpy as jnp
 
 from ..config import ObsConfig, VehicleConfig
 
-# reference colors (configs.py:80-84) / 255
-_OBST = jnp.asarray([150.0, 150.0, 150.0]) / 255.0
-_DEST = jnp.asarray([69.0, 139.0, 0.0]) / 255.0
-_CAR = jnp.asarray([30.0, 144.0, 255.0]) / 255.0
+# reference colors (configs.py:80-84) / 255 — numpy on purpose: creating
+# jnp arrays at import time initializes the XLA backend, which would break
+# jax.distributed.initialize() in multi-host CLIs (it must run first)
+import numpy as np
+
+_OBST = np.asarray([150.0, 150.0, 150.0], np.float32) / 255.0
+_DEST = np.asarray([69.0, 139.0, 0.0], np.float32) / 255.0
+_CAR = np.asarray([30.0, 144.0, 255.0], np.float32) / 255.0
 
 
 def _pixel_grid(pose, obs_cfg: ObsConfig, vcfg: VehicleConfig):

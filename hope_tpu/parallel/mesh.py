@@ -27,15 +27,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _to_global(x, sh: NamedSharding):
+    """Place host/process-local data under ``sh``.
+
+    Single process: plain ``device_put``.  Multi-process (the mesh spans
+    non-addressable devices): every process holds an IDENTICAL copy of the
+    data (the trainers seed all host rngs identically), so each builds its
+    addressable shards via ``make_array_from_callback`` — the standard
+    SPMD-ingest path that rides DCN on pods."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    import numpy as np  # noqa: F811
+
+    shape = np.shape(x)
+    return jax.make_array_from_callback(
+        shape, sh, lambda idx: np.asarray(x[idx]))
+
+
 def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
     """Shard every leaf's leading dim over the mesh axis."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _to_global(x, sh), tree)
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _to_global(x, sh), tree)
+
+
+def gather_replicated(tree, mesh: Mesh):
+    """Reshard a (possibly dp-sharded) pytree to fully-replicated so every
+    process can materialize it on host (jitted identity with replicated
+    out_shardings = one allgather)."""
+    f = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+    return f(tree)
+
+
+def barrier(name: str, timeout_s: int = 600):
+    """Rendezvous all processes on the coordination-service barrier (gRPC,
+    long timeout) — used before dispatching the first cross-process collective
+    computation, whose Gloo/NCCL context formation has a short hard deadline
+    that setup-phase compile skew between processes can blow through."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        name, timeout_in_ms=timeout_s * 1000)
 
 
 def initialize_multihost(coordinator: str | None = None,

@@ -47,10 +47,11 @@ def host_blob(scene_chooser, dlp_chooser, queue_rng, counters: dict) -> dict:
     }
 
 
-def save_full(path: str, step: int, device_state: dict, host_state: dict):
+def save_full(path: str, step: int, device_state: dict, host_state: dict,
+              single_host: bool = False):
     from ..utils.checkpoint import save_checkpoint
 
-    save_checkpoint(path, device_state, step)
+    save_checkpoint(path, device_state, step, single_host=single_host)
     with open(os.path.join(os.path.abspath(path), f"host_{step}.json"),
               "w") as f:
         json.dump(host_state, f)

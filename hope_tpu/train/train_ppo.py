@@ -39,7 +39,14 @@ def main(argv=None):
     ap.add_argument("--no-img", action="store_true")
     ap.add_argument("--no-dlp", action="store_true")
     ap.add_argument("--devices", type=int, default=1,
-                    help="shard the env batch over a ('dp',) mesh of N devices")
+                    help="shard the env batch over a ('dp',) mesh of N "
+                         "devices; counts GLOBAL devices with --num-processes")
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="multi-host: coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id (0-based)")
     ap.add_argument("--lr-decay", type=str, default=None,
                     choices=["linear", "exp"],
                     help="lr schedule (reference agent_base.lr_decay :81-86)")
@@ -66,9 +73,17 @@ def main(argv=None):
         args.no_img = True
         args.no_dlp = True
 
-    from ..utils.cache import enable_persistent_cache
+    # join the multi-process runtime BEFORE any device use (SURVEY.md 2b)
+    from ..parallel.mesh import initialize_multihost
 
-    enable_persistent_cache()
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
+    if not (args.num_processes and args.num_processes > 1):
+        # cache off under multi-process: mixed cache-hit/fresh executables
+        # carry mismatched collective-clique keys (see train_sac.py)
+        from ..utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     obs_cfg = ObsConfig(use_img=not args.no_img)
     env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
@@ -109,6 +124,7 @@ def main(argv=None):
         if B % args.devices:
             raise SystemExit("--batch-envs must be divisible by --devices")
         mesh = make_mesh(devs[: args.devices])
+    multiproc = mesh is not None and jax.process_count() > 1
 
     start_idx = queue_sampler.sample(B)
     pool_idx = jnp.asarray(start_idx, jnp.int32)
@@ -124,6 +140,17 @@ def main(argv=None):
         hybrid = shard_batch(hybrid, mesh)
 
     chunk_fn = build_ppo_chunk(env, agent, env_cfg.step_ratio, T)
+
+    if multiproc:
+        # AOT-compile + rendezvous before the first cross-process collective
+        # (see train_sac.py for the Gloo context-deadline rationale)
+        from ..parallel.mesh import barrier
+        from ..parallel.mesh import replicate as _rep
+
+        dummy_q = _rep(jnp.zeros(R, jnp.int32), mesh)
+        chunk_fn.lower(ppo_state, env_state, hybrid, obs, pool_idx,
+                       pool.pool, dummy_q, key).compile()
+        barrier("ppo_pretrain")
 
     from ..utils.profiling import MetricsWriter, StepTimer
 
@@ -160,6 +187,10 @@ def main(argv=None):
         (ppo_state, env_state, hybrid, obs, pool_idx, logs,
          metrics) = chunk_fn(ppo_state, env_state, hybrid, obs, pool_idx,
                              pool.pool, reset_queue, k)
+        if multiproc:
+            from ..parallel.mesh import gather_replicated
+
+            logs = gather_replicated(logs, mesh)
         total_steps += B * T
         timer.tick(B * T)
 
@@ -207,15 +238,25 @@ def main(argv=None):
         # mean-of-capped works under batched training
         capped = np.minimum(sr, TARGET_SUCCESS)
         score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
+        def _save(sub, state):
+            if multiproc:
+                from ..parallel.mesh import gather_replicated
+
+                state = jax.tree.map(np.asarray,
+                                     gather_replicated(state, mesh))
+                if jax.process_index() != 0:
+                    return
+            save_checkpoint(os.path.join(args.log_dir, sub), state, n_chunk,
+                            single_host=multiproc)
+
         if episodes_done > 100 and score > best_score:
             best_score = score
-            save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
-                            ppo_state, n_chunk)
+            _save("ckpt_best", ppo_state)
 
         if args.save_every and n_chunk % args.save_every == 0:
-            save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, n_chunk)
+            _save("ckpt", ppo_state)
 
-    save_checkpoint(os.path.join(args.log_dir, "ckpt"), ppo_state, n_chunk)
+    _save("ckpt", ppo_state)
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 

@@ -92,7 +92,17 @@ def main(argv=None):
                          "bank device-resident")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the env batch + replay over a ('dp',) mesh of "
-                         "N devices (params replicated, gradient psum by XLA)")
+                         "N devices (params replicated, gradient psum by XLA). "
+                         "With --num-processes this counts GLOBAL devices "
+                         "across the cluster")
+    ap.add_argument("--coordinator", type=str, default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(jax.distributed.initialize; collectives ride ICI "
+                         "within a slice, DCN across hosts)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id (0-based)")
     ap.add_argument("--resume", type=str, default=None,
                     help="orbax ckpt dir: restore the FULL training-loop "
                          "state — agent pytree, replay ring, env/hybrid "
@@ -122,6 +132,8 @@ def main(argv=None):
     ap.add_argument("--profile-chunks", type=int, default=0,
                     help="capture a jax.profiler trace of chunks 5..5+N")
     ap.add_argument("--no-tensorboard", action="store_true")
+    ap.add_argument("--log-every", type=int, default=5,
+                    help="print/write metrics every N chunks")
     args = ap.parse_args(argv)
 
     if args.smoke:
@@ -136,9 +148,21 @@ def main(argv=None):
         args.no_img = True
         args.no_dlp = True
 
-    from ..utils.cache import enable_persistent_cache
+    # join the multi-process runtime BEFORE any device use (SURVEY.md 2b:
+    # jax.distributed backbone; no-op when --num-processes is unset)
+    from ..parallel.mesh import initialize_multihost
 
-    enable_persistent_cache()
+    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
+    if not (args.num_processes and args.num_processes > 1):
+        # persistent cache stays OFF under multi-process: a cache hit on one
+        # process and a fresh compile on another yields executables with
+        # mismatched collective-clique instance keys — the Gloo context
+        # rendezvous then deadlocks (observed: GetKeyValue timeout on key
+        # .../2 vs a fresh executable waiting on .../0)
+        from ..utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     from ..config import ObsConfig
 
@@ -208,6 +232,7 @@ def main(argv=None):
         if B % args.devices or args.memory % args.devices:
             raise SystemExit("--batch-envs and --memory must be divisible by --devices")
         mesh = make_mesh(devs[: args.devices])
+    multiproc = mesh is not None and jax.process_count() > 1
 
     start_idx = queue_sampler.sample(B)
     pool_idx = jnp.asarray(start_idx, jnp.int32)
@@ -278,6 +303,23 @@ def main(argv=None):
     chunk_fn = build_sac_chunk(env, agent, env_cfg.step_ratio, K,
                                K * args.updates_per_step, args.sgd_batch)
 
+    if multiproc:
+        # Processes reach the first cross-process collective with minutes of
+        # setup/compile skew, blowing the Gloo context-formation deadline.
+        # AOT-compile both chunk variants (so dispatch-time compiles are
+        # cache hits), then rendezvous on the coordination-service barrier.
+        from ..parallel.mesh import barrier
+        from ..parallel.mesh import replicate as _rep
+
+        dummy_q = _rep(jnp.zeros(R, jnp.int32), mesh)
+        for w in (True, False):
+            chunk_fn.lower(sac_state, env_state, hybrid, obs, pool_idx,
+                           replay, pool.pool, dummy_q, key,
+                           warmup=w).compile()
+        barrier("sac_pretrain")
+        print(json.dumps({"multihost": "barrier passed",
+                          "t": round(time.time(), 1)}), flush=True)
+
     from ..utils.profiling import MetricsWriter, StepTimer
 
     os.makedirs(args.log_dir, exist_ok=True)
@@ -307,12 +349,22 @@ def main(argv=None):
         reward_hist = list(counters["reward_hist"])
     t_start = time.time()
 
+    def to_host(tree):
+        """Multi-process: allgather to replicated (symmetric collective on
+        every process) + materialize on host, so process 0 alone can write
+        the checkpoint with orbax's multihost coordination disabled."""
+        from ..parallel.mesh import gather_replicated
+
+        return jax.tree.map(np.asarray, gather_replicated(tree, mesh))
+
     def save_loop_ckpt():
         """Full-fidelity periodic checkpoint (device pytree + host JSON)."""
         from .resume import device_blob, host_blob, save_full
 
         dev = device_blob(sac_state, env_state, hybrid, obs, pool_idx,
                           replay, key, pool.pool, pool.key)
+        if multiproc:
+            dev = to_host(dev)
         host = host_blob(scene_chooser, dlp_chooser, rng, {
             "episodes_done": episodes_done, "total_steps": total_steps,
             "n_chunk": n_chunk, "best_score": list(best_score),
@@ -320,7 +372,10 @@ def main(argv=None):
             "dlp_case_ids": None if pool.dlp_case_ids is None
             else np.asarray(pool.dlp_case_ids).tolist(),
         })
-        save_full(os.path.join(args.log_dir, "ckpt"), n_chunk, dev, host)
+        if multiproc and jax.process_index() != 0:
+            return
+        save_full(os.path.join(args.log_dir, "ckpt"), n_chunk, dev, host,
+                  single_host=multiproc)
 
     while episodes_done < args.episodes:
         if args.max_seconds and time.time() - t_start > args.max_seconds:
@@ -341,6 +396,14 @@ def main(argv=None):
         (sac_state, env_state, hybrid, obs, pool_idx, replay, logs,
          metrics) = chunk_fn(sac_state, env_state, hybrid, obs, pool_idx,
                              replay, pool.pool, reset_queue, k, warmup=warmup)
+        if multiproc:
+            print(json.dumps({"multihost": f"chunk {n_chunk} dispatched",
+                              "t": round(time.time(), 1)}), flush=True)
+            # dp-sharded logs span processes; allgather so the host-side
+            # curriculum sees every env's episode ends on every process
+            from ..parallel.mesh import gather_replicated
+
+            logs = gather_replicated(logs, mesh)
         total_steps += B * K
         timer.tick(B * K)
 
@@ -363,7 +426,7 @@ def main(argv=None):
 
                 pool.pool = _rep(pool.pool, mesh)
 
-        if n_chunk % 5 == 0 or episodes_done >= args.episodes:
+        if n_chunk % args.log_every == 0 or episodes_done >= args.episodes:
             sr = scene_chooser.recent_success()
             line = {
                 "chunk": n_chunk, "episodes": episodes_done, "steps": total_steps,
@@ -396,8 +459,10 @@ def main(argv=None):
             score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
             if episodes_done > 100 and score > best_score:
                 best_score = score
-                save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
-                                sac_state, n_chunk)
+                best = to_host(sac_state) if multiproc else sac_state
+                if not multiproc or jax.process_index() == 0:
+                    save_checkpoint(os.path.join(args.log_dir, "ckpt_best"),
+                                    best, n_chunk, single_host=multiproc)
 
         if args.save_every and n_chunk % args.save_every == 0:
             save_loop_ckpt()

@@ -8,14 +8,28 @@ import os
 import jax
 
 
-def save_checkpoint(path: str, state, step: int):
+def save_checkpoint(path: str, state, step: int, single_host: bool = False):
+    """``single_host``: write from THIS process only, with orbax's multihost
+    coordination disabled — used by multi-process trainers after gathering the
+    state to fully-replicated host arrays (orbax's own cross-process sync is
+    for shard-per-host writes and deadlocks when non-writers skip the save)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    ckpt = ocp.StandardCheckpointer()
+    if single_host:
+        import jax as _jax
+
+        me = _jax.process_index()
+        ckpt = ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me}))
+    else:
+        ckpt = ocp.StandardCheckpointer()
     ckpt.save(os.path.join(path, f"step_{step}"), state, force=True)
-    ckpt.wait_until_finished()
+    if hasattr(ckpt, "wait_until_finished"):
+        ckpt.wait_until_finished()   # plain Checkpointer saves synchronously
 
 
 def load_checkpoint(path: str, abstract_state, step: int | None = None):
