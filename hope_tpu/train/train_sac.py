@@ -397,8 +397,6 @@ def main(argv=None):
          metrics) = chunk_fn(sac_state, env_state, hybrid, obs, pool_idx,
                              replay, pool.pool, reset_queue, k, warmup=warmup)
         if multiproc:
-            print(json.dumps({"multihost": f"chunk {n_chunk} dispatched",
-                              "t": round(time.time(), 1)}), flush=True)
             # dp-sharded logs span processes; allgather so the host-side
             # curriculum sees every env's episode ends on every process
             from ..parallel.mesh import gather_replicated
