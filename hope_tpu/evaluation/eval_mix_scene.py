@@ -25,6 +25,76 @@ from ..utils.checkpoint import load_checkpoint
 from .evaluate import build_episode_runner, summarize, write_report
 
 
+def run_battery(env, agent, state, agent_type, episodes=256, max_steps=200,
+                out="log/eval", seed=0, visualize=0, include_dlp=True):
+    """Evaluate an in-memory agent state over the 4-level battery
+    (Extrem -> dlp -> Complex -> Normal, reference eval_mix_scene.py:88-115).
+
+    Shared by the CLI below and the trainers' ``--final-eval`` post-training
+    battery (reference train_HOPE_sac.py:283-312).  Returns the per-level
+    summaries; writes reports/records under ``out``.
+    """
+    env_cfg = env.cfg
+
+    # PPO evals masked choose_action; SAC evals raw get_action
+    # (reference eval_mix_scene.py:87, eval_utils.py:42-45)
+    if agent_type == "ppo":
+        policy_act = lambda obs, k: agent.choose_action(state, obs, k)  # noqa: E731
+    else:
+        policy_act = lambda obs, k: agent.get_action(state, obs, k)  # noqa: E731
+    policy_logp = lambda obs, a: agent.log_prob(state, obs, a)  # noqa: E731
+
+    run = build_episode_runner(env, policy_act, policy_logp, max_steps,
+                               record_traj=visualize > 0)
+    os.makedirs(out, exist_ok=True)
+    key = jax.random.PRNGKey(seed + 7)
+
+    levels = (["Extrem", "dlp", "Complex", "Normal"] if include_dlp
+              else ["Extrem", "Complex", "Normal"])
+    results = {}
+    for level in levels:
+        key, k1, k2 = jax.random.split(key, 3)
+        if level == "dlp":
+            from ..envs.dlp import DLPDataset
+
+            ds = DLPDataset(env_cfg=env_cfg)
+            ids = jnp.arange(episodes) % ds.n_cases
+            scenes = ds.batch_reset(jax.random.split(k1, episodes), ids)
+            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
+        else:
+            scenes, ok = generate_bank(k1, level=level, n=episodes)
+            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
+        metrics = run(scenes, k2)
+        metrics_np = jax.tree.map(np.asarray, metrics)
+        summary = summarize(metrics_np, max_steps=max_steps)
+        results[level] = summary
+        write_report(os.path.join(out, f"result_{level}.json"), summary)
+
+        from .render import save_episode_png, save_record, save_success_cdf
+
+        save_record(os.path.join(out, f"record_{level}.npz"),
+                    {k: v for k, v in metrics_np.items() if k != "poses"})
+        save_success_cdf(os.path.join(out, f"success_cdf_{level}.png"),
+                         metrics_np["steps"], metrics_np["success"],
+                         max_steps)
+        if visualize:
+            corners = env.corners
+            for i in range(min(visualize, episodes)):
+                scene_i = jax.tree.map(lambda x: np.asarray(x)[i], scenes)
+                n_steps = int(metrics_np["steps"][i])
+                save_episode_png(
+                    os.path.join(out, f"episode_{level}_{i}.png"),
+                    scene_i, metrics_np["poses"][: max(n_steps, 1), i], corners,
+                    title=f"{level} #{i}: "
+                          f"{'success' if metrics_np['success'][i] else 'fail'}"
+                          f" in {n_steps} steps")
+        print(json.dumps({level: summary["success_rate"],
+                          "steps": summary["success_steps_mean"]}), flush=True)
+
+    write_report(os.path.join(out, "result_all.json"), results)
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", type=str)
@@ -65,63 +135,11 @@ def main(argv=None):
     if args.ckpt != "random":
         state = load_checkpoint(args.ckpt, state)
 
-    # PPO evals masked choose_action; SAC evals raw get_action
-    # (reference eval_mix_scene.py:87, eval_utils.py:42-45)
-    if agent_type == "ppo":
-        policy_act = lambda obs, k: agent.choose_action(state, obs, k)  # noqa: E731
-    else:
-        policy_act = lambda obs, k: agent.get_action(state, obs, k)  # noqa: E731
-    policy_logp = lambda obs, a: agent.log_prob(state, obs, a)  # noqa: E731
-
-    run = build_episode_runner(env, policy_act, policy_logp, args.max_steps,
-                               record_traj=args.visualize > 0)
-    os.makedirs(args.out, exist_ok=True)
-    key = jax.random.PRNGKey(args.seed + 7)
-
-    levels = ["Extrem", "Complex", "Normal"] if args.no_dlp else \
-        ["Extrem", "dlp", "Complex", "Normal"]
-    results = {}
-    for level in levels:
-        key, k1, k2 = jax.random.split(key, 3)
-        if level == "dlp":
-            from ..envs.dlp import DLPDataset
-
-            ds = DLPDataset(env_cfg=env_cfg)
-            ids = jnp.arange(args.episodes) % ds.n_cases
-            scenes = ds.batch_reset(jax.random.split(k1, args.episodes), ids)
-            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
-        else:
-            scenes, ok = generate_bank(k1, level=level, n=args.episodes)
-            scenes = pad_scene_batch(scenes, env_cfg.max_edges, env_cfg.max_obstacles)
-        metrics = run(scenes, k2)
-        metrics_np = jax.tree.map(np.asarray, metrics)
-        summary = summarize(metrics_np, max_steps=args.max_steps)
-        results[level] = summary
-        write_report(os.path.join(args.out, f"result_{level}.json"), summary)
-
-        from .render import save_episode_png, save_record, save_success_cdf
-
-        save_record(os.path.join(args.out, f"record_{level}.npz"),
-                    {k: v for k, v in metrics_np.items() if k != "poses"})
-        save_success_cdf(os.path.join(args.out, f"success_cdf_{level}.png"),
-                         metrics_np["steps"], metrics_np["success"],
-                         args.max_steps)
-        if args.visualize:
-            corners = env.corners
-            for i in range(min(args.visualize, args.episodes)):
-                scene_i = jax.tree.map(lambda x: np.asarray(x)[i], scenes)
-                n_steps = int(metrics_np["steps"][i])
-                save_episode_png(
-                    os.path.join(args.out, f"episode_{level}_{i}.png"),
-                    scene_i, metrics_np["poses"][: max(n_steps, 1), i], corners,
-                    title=f"{level} #{i}: "
-                          f"{'success' if metrics_np['success'][i] else 'fail'}"
-                          f" in {n_steps} steps")
-        print(json.dumps({level: summary["success_rate"],
-                          "steps": summary["success_steps_mean"]}), flush=True)
-
-    write_report(os.path.join(args.out, "result_all.json"), results)
-    return results
+    return run_battery(env, agent, state, agent_type,
+                       episodes=args.episodes, max_steps=args.max_steps,
+                       out=args.out, seed=args.seed,
+                       visualize=args.visualize,
+                       include_dlp=not args.no_dlp)
 
 
 if __name__ == "__main__":

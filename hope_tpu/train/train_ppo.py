@@ -62,6 +62,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--max-seconds", type=float, default=0.0)
+    ap.add_argument("--final-eval", type=int, default=0,
+                    help="run the 4-level eval battery with N episodes/level "
+                         "after training (reference post-training eval, "
+                         "train_HOPE_sac.py:283-312); 0 disables")
     ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
 
@@ -259,6 +263,24 @@ def main(argv=None):
     _save("ckpt", ppo_state)
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
+
+    if args.final_eval and (not multiproc or jax.process_index() == 0):
+        from ..evaluation.eval_mix_scene import run_battery
+
+        ev_state = ppo_state
+        if multiproc:
+            from ..parallel.mesh import gather_replicated
+
+            ev_state = jax.tree.map(np.asarray,
+                                    gather_replicated(ev_state, mesh))
+        results = run_battery(env, agent, ev_state, "ppo",
+                              episodes=args.final_eval,
+                              out=os.path.join(args.log_dir, "final_eval"),
+                              seed=args.seed,
+                              include_dlp=not args.no_dlp)
+        print(json.dumps({"final_eval": {
+            lv: round(r["success_rate"], 4) for lv, r in results.items()}}),
+            flush=True)
 
 
 if __name__ == "__main__":
