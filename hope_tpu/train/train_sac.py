@@ -123,7 +123,11 @@ def main(argv=None):
     ap.add_argument("--freeze-img-encoder", action="store_true",
                     help="zero the grafted encoder's gradients during training")
     ap.add_argument("--save-every", type=int, default=200,
-                    help="checkpoint every N chunks")
+                    help="agent-only checkpoint every N chunks (cheap)")
+    ap.add_argument("--full-save-every", type=int, default=0,
+                    help="FULL loop checkpoint (incl. the replay ring — "
+                         "gigabytes with images) every N chunks; 0 = only at "
+                         "exit.  Resume from <log-dir>/ckpt_full")
     ap.add_argument("--log-dir", type=str, default="log/sac")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
@@ -378,8 +382,8 @@ def main(argv=None):
         })
         if multiproc and jax.process_index() != 0:
             return
-        save_full(os.path.join(args.log_dir, "ckpt"), n_chunk, dev, host,
-                  single_host=multiproc)
+        save_full(os.path.join(args.log_dir, "ckpt_full"), n_chunk, dev,
+                  host, single_host=multiproc)
 
     while episodes_done < args.episodes:
         if args.max_seconds and time.time() - t_start > args.max_seconds:
@@ -467,11 +471,16 @@ def main(argv=None):
                                     best, n_chunk, single_host=multiproc)
 
         if args.save_every and n_chunk % args.save_every == 0:
-            save_loop_ckpt()
+            ck = to_host(sac_state) if multiproc else sac_state
+            if not multiproc or jax.process_index() == 0:
+                save_checkpoint(os.path.join(args.log_dir, "ckpt"), ck,
+                                n_chunk, single_host=multiproc)
             from ..evaluation.render import save_reward_curve
 
             save_reward_curve(os.path.join(args.log_dir, "reward_curve.png"),
                               reward_hist)
+        if args.full_save_every and n_chunk % args.full_save_every == 0:
+            save_loop_ckpt()
 
         if args.max_chunks and n_chunk >= args.max_chunks:
             break

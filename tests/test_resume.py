@@ -35,7 +35,7 @@ def test_kill_and_resume_reproduces_run(tmp_path):
     # killed at chunk 3 (final save is full-fidelity), resumed to chunk 6
     _run_sac(common + ["--max-chunks", "3", "--log-dir", b])
     _run_sac(common + ["--max-chunks", "6", "--log-dir", b2,
-                       "--resume", os.path.join(b, "ckpt")])
+                       "--resume", os.path.join(b, "ckpt_full")])
 
     ma = _metrics(a, 5)
     mb = _metrics(b2, 5)
@@ -46,8 +46,8 @@ def test_kill_and_resume_reproduces_run(tmp_path):
                                    err_msg=f"divergence in {k}")
 
     # counters in the final checkpoints agree
-    ha = json.load(open(os.path.join(a, "ckpt", "host_6.json")))
-    hb = json.load(open(os.path.join(b2, "ckpt", "host_6.json")))
+    ha = json.load(open(os.path.join(a, "ckpt_full", "host_6.json")))
+    hb = json.load(open(os.path.join(b2, "ckpt_full", "host_6.json")))
     for k in ("episodes_done", "total_steps", "n_chunk"):
         assert ha["counters"][k] == hb["counters"][k], k
     np.testing.assert_allclose(ha["counters"]["reward_hist"],
