@@ -26,7 +26,8 @@ from .evaluate import build_episode_runner, summarize, write_report
 
 
 def run_battery(env, agent, state, agent_type, episodes=256, max_steps=200,
-                out="log/eval", seed=0, visualize=0, include_dlp=True):
+                out="log/eval", seed=0, visualize=0, include_dlp=True,
+                animate=0, live=False):
     """Evaluate an in-memory agent state over the 4-level battery
     (Extrem -> dlp -> Complex -> Normal, reference eval_mix_scene.py:88-115).
 
@@ -45,7 +46,7 @@ def run_battery(env, agent, state, agent_type, episodes=256, max_steps=200,
     policy_logp = lambda obs, a: agent.log_prob(state, obs, a)  # noqa: E731
 
     run = build_episode_runner(env, policy_act, policy_logp, max_steps,
-                               record_traj=visualize > 0)
+                               record_traj=visualize > 0 or animate > 0)
     os.makedirs(out, exist_ok=True)
     key = jax.random.PRNGKey(seed + 7)
 
@@ -77,6 +78,16 @@ def run_battery(env, agent, state, agent_type, episodes=256, max_steps=200,
         save_success_cdf(os.path.join(out, f"success_cdf_{level}.png"),
                          metrics_np["steps"], metrics_np["success"],
                          max_steps)
+        if animate:
+            from .render import animate_episode
+
+            for i in range(min(animate, episodes)):
+                scene_i = jax.tree.map(lambda x: np.asarray(x)[i], scenes)
+                n_steps = int(metrics_np["steps"][i])
+                animate_episode(
+                    os.path.join(out, f"episode_{level}_{i}.gif"),
+                    scene_i, metrics_np["poses"][: max(n_steps, 1), i],
+                    env.corners, live=live)
         if visualize:
             corners = env.corners
             for i in range(min(visualize, episodes)):
@@ -110,6 +121,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--visualize", type=int, default=0,
                     help="render the first N episodes per level as PNGs")
+    ap.add_argument("--animate", type=int, default=0,
+                    help="animated GIF playback of the first N episodes per "
+                         "level (the reference's pygame-window equivalent)")
+    ap.add_argument("--live", action="store_true",
+                    help="with --animate: also open an interactive window "
+                         "(falls back to file-only when headless)")
     args = ap.parse_args(argv)
 
     from ..utils.cache import enable_persistent_cache
@@ -139,7 +156,8 @@ def main(argv=None):
                        episodes=args.episodes, max_steps=args.max_steps,
                        out=args.out, seed=args.seed,
                        visualize=args.visualize,
-                       include_dlp=not args.no_dlp)
+                       include_dlp=not args.no_dlp,
+                       animate=args.animate, live=args.live)
 
 
 if __name__ == "__main__":

@@ -127,3 +127,55 @@ def save_record(path: str, metrics: dict):
     """Persist per-episode eval arrays (reference record.data pickle —
     eval_utils.py:129-137) as a portable .npz."""
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in metrics.items()})
+
+
+def animate_episode(path: str, scene, poses, corners, fps: int = 10,
+                    live: bool = False):
+    """Frame-by-frame episode playback — the live-rendering equivalent of the
+    reference's pygame window loop (``env/car_parking_base.py:383-411``).
+
+    Writes an animated GIF at ``path`` (always — headless containers have no
+    display); with ``live`` additionally tries to open an interactive window
+    and play the episode in real time, silently falling back to file-only when
+    no display is available.
+
+    Args:
+      scene: single Scene pytree.  poses: (T, 3).  corners: (4, 2) footprint.
+    """
+    import matplotlib
+
+    if live:
+        try:  # pragma: no cover - needs a display
+            matplotlib.use("TkAgg")
+        except Exception:
+            matplotlib.use("Agg")
+            live = False
+    else:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    poses = np.asarray(poses)
+    c, s = np.cos(poses[:, 2]), np.sin(poses[:, 2])
+    rot = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+    boxes = np.einsum("tij,kj->tki", rot, np.asarray(corners)) \
+        + poses[:, None, :2]
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    draw_scene(ax, scene)
+    (outline,) = ax.plot([], [], color=VEHICLE_COLOR, lw=1.6)
+    (trail,) = ax.plot([], [], "-", color=TRAJ_COLOR, lw=1.0, alpha=0.8)
+
+    def frame(t):
+        closed = np.vstack([boxes[t], boxes[t][:1]])
+        outline.set_data(closed[:, 0], closed[:, 1])
+        centers = boxes[: t + 1].mean(axis=1)
+        trail.set_data(centers[:, 0], centers[:, 1])
+        return outline, trail
+
+    anim = animation.FuncAnimation(fig, frame, frames=len(poses),
+                                   interval=1000 // fps, blit=True)
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    if live:  # pragma: no cover - needs a display
+        plt.show()
+    plt.close(fig)

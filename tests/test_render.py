@@ -42,3 +42,21 @@ def test_render_outputs(tmp_path):
     save_record(str(p4), {"steps": np.arange(3), "success": np.ones(3, bool)})
     loaded = np.load(str(p4))
     assert loaded["steps"].shape == (3,)
+
+
+def test_animate_episode_gif(tmp_path):
+    scene, ok = generate_case(jax.random.PRNGKey(1),
+                              ScenarioConfig.for_level("Normal"),
+                              env_cfg=EnvConfig())
+    scene = jax.tree.map(np.asarray, scene)
+    poses = np.stack([
+        np.linspace(scene.start[0], scene.dest[0], 8),
+        np.linspace(scene.start[1], scene.dest[1], 8),
+        np.linspace(scene.start[2], scene.dest[2], 8),
+    ], axis=-1)
+    corners = np.asarray(VehicleConfig().box_corners())
+    from hope_tpu.evaluation.render import animate_episode
+
+    p = tmp_path / "ep.gif"
+    animate_episode(str(p), scene, poses, corners, fps=5)
+    assert p.stat().st_size > 5000
