@@ -104,7 +104,7 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
         state = jax.vmap(env._init_state)(scenes)
         B = scenes.dest.shape[0]
 
-        def outer(carry, _):
+        def outer(carry, t):
             (state, us_prev, hybrid, finished, steps, path_len, status,
              ever_rs, ever_way) = carry
             pose = state.vehicle.pose
@@ -116,9 +116,13 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                 hybrid = latch(hybrid, rs._replace(found=found),
                                env.cfg.step_ratio)
             if rs_exec and use_staging and staging is not None:
+                # even replans try the 4 cheapest valid staging candidates;
+                # odd replans slide the window deeper (4..24) so a stuck env
+                # eventually attempts every valid candidate
+                off = jnp.where(t % 2 == 0, 0, 4 * (((t // 2) % 5) + 1))
                 hybrid, wl = waypoint_latch(env, staging, pose, scenes,
                                             hybrid, ~finished,
-                                            env.cfg.step_ratio)
+                                            env.cfg.step_ratio, offset=off)
                 ever_way = ever_way | wl
             us_shift = jnp.concatenate(
                 [us_prev[:, M:], jnp.zeros((B, M, 2))], axis=1)
@@ -183,7 +187,7 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                 jnp.zeros(B, bool))
         (state, _, hybrid, finished, steps, path_len, status, ever_rs,
          ever_way), costs = \
-            jax.lax.scan(outer, init, None, length=n_outer)
+            jax.lax.scan(outer, init, jnp.arange(n_outer))
         return {
             "success": status == ARRIVED,
             "steps": steps,

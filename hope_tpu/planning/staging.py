@@ -36,7 +36,7 @@ from .rs_select import find_path_batch
 # poses), so a sparse hand-picked set misses it on ~half the scenes; a dense
 # grid recovers it at linear precompute cost (one batched RS search per
 # candidate, scanned).
-_RADII = (2.0, 3.0, 4.5, 6.0)
+_RADII = (2.0, 3.0, 4.5, 6.0, 8.0)
 _N_ANGLES = 8
 _N_HEADINGS = 8
 
@@ -118,7 +118,8 @@ def concat_queues(q1, n1, q2, n2, queue_len: int):
 
 
 def waypoint_latch(env, staging: StagingSet, pose, scenes, hybrid,
-                   active, step_ratio: float, k_best: int = 4):
+                   active, step_ratio: float, k_best: int = 4,
+                   offset: int = 0):
     """Two-segment RS latch: try RS(pose -> staging_s) for the ``k_best``
     cheapest valid staging candidates; the first collision-free hit latches
     the CONCATENATED plan [RS(pose -> s), RS(s -> dest)] — both segments
@@ -140,7 +141,13 @@ def waypoint_latch(env, staging: StagingSet, pose, scenes, hybrid,
     ar = jnp.arange(B)
 
     d = jnp.linalg.norm(pose[:, None, :2] - staging.poses[..., :2], axis=-1)
-    order = jnp.argsort(d + staging.L, axis=1)[:, :k_best]    # (B, K)
+    # ``offset`` slides the candidate window down the cost ranking — the MPC
+    # runner cycles it across replans so an episode eventually tries EVERY
+    # valid staging pose, not just the 4 cheapest (which may all be
+    # RS-unreachable from the approach side the car is on)
+    order_full = jnp.argsort(d + staging.L, axis=1)          # (B, S)
+    order = jax.lax.dynamic_slice_in_dim(
+        order_full, offset, k_best, axis=1)                  # (B, K)
 
     found_any = jnp.zeros(B, bool)
     sel_rs1 = RSPath(found=jnp.zeros(B, bool), lengths=jnp.zeros((B, 5)),

@@ -14,7 +14,11 @@ timeout 4000 python -m hope_tpu.train.train_sac --episodes 2000000 \
     --log-dir log/sac_graft_r4 --save-every 100 --final-eval 256 \
     > runlogs/sac_graft_r4.log 2>&1
 
-# 3+4. MPC approach-phase ablations for the BASELINE table
+# 3. headline MPC DLP battery with candidate-window cycling + radius-8 staging
+timeout 3600 python -m hope_tpu.planning.mpc --episodes 256 \
+    --seed 0 --out log/mpc_r4c > runlogs/mpc_r4c.log 2>&1
+
+# 4+5. MPC approach-phase ablations for the BASELINE table
 timeout 3600 python -m hope_tpu.planning.mpc --episodes 256 --no-staging \
     --seed 0 --out log/mpc_r4_nostaging > runlogs/mpc_r4_nostaging.log 2>&1
 timeout 3600 python -m hope_tpu.planning.mpc --episodes 256 --no-step-rs \
