@@ -31,4 +31,8 @@ timeout 2400 python -m hope_tpu.evaluation.eval_mix_scene log/ppo_r4/ckpt_best \
 # 6. headline bench (also warms the compile cache for the driver's capture)
 timeout 2400 python bench.py > runlogs/bench_r4.json 2>runlogs/bench_r4.err
 
+# 7. full-obs rollout roofline + trace (VERDICT r3 item 7)
+timeout 2400 python benchmarks/profile_raster.py --trace runlogs/trace_imgrs \
+    > runlogs/profile_raster.json 2>runlogs/profile_raster.err
+
 echo QUEUE_DONE
