@@ -62,6 +62,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--max-seconds", type=float, default=0.0)
+    ap.add_argument("--resume", type=str, default=None,
+                    help="orbax ckpt dir: restore the full PPOState (params, "
+                         "optimizers, normalizer, counters) and continue "
+                         "training")
     ap.add_argument("--final-eval", type=int, default=0,
                     help="run the 4-level eval battery with N episodes/level "
                          "after training (reference post-training eval, "
@@ -105,6 +109,12 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     ppo_state = agent.init(k_init)
+    if args.resume:
+        from ..utils.checkpoint import load_checkpoint
+
+        ppo_state = load_checkpoint(args.resume, ppo_state)
+        print(json.dumps({"resumed": args.resume,
+                          "sgd_steps": int(ppo_state.steps)}), flush=True)
 
     pool = ScenePool(env_cfg, per_level=args.pool_per_level, include_dlp=not args.no_dlp)
     scene_chooser = SceneChoose(rng=np.random.default_rng(args.seed))
