@@ -7,7 +7,15 @@ from .rs_select import (
     traj_collides,
 )
 from .ilqr import ILQRConfig, ILQRResult, solve as ilqr_solve, solve_batch as ilqr_solve_batch
+from .staging import (
+    StagingSet,
+    compute_staging,
+    pick_goal,
+    staging_candidates,
+    waypoint_latch,
+)
 
 __all__ = ["reeds_shepp", "RSPath", "find_path", "find_path_batch",
            "build_action_queue", "traj_collides", "ILQRConfig", "ILQRResult",
-           "ilqr_solve", "ilqr_solve_batch"]
+           "ilqr_solve", "ilqr_solve_batch", "StagingSet", "compute_staging",
+           "pick_goal", "staging_candidates", "waypoint_latch"]
