@@ -205,7 +205,11 @@ def main(argv=None):
         tmpl = ae.init(jax.random.PRNGKey(0),
                        jnp.zeros((1, 3, obs_cfg.img_size, obs_cfg.img_size)))
         ae_params = load_checkpoint(args.img_encoder, tmpl)
-        graft = lambda p: graft_encoder_params(p, ae_params)  # noqa: E731
+        # per-slot copies: grafting the SAME arrays into actor + both critics
+        # + both targets would alias one buffer across donated chunk args
+        # ("attempt to donate the same buffer twice")
+        graft = lambda p: jax.tree.map(  # noqa: E731
+            jnp.copy, graft_encoder_params(p, ae_params))
         sac_state = sac_state.replace(
             actor=graft(sac_state.actor),
             critic1=graft(sac_state.critic1), critic2=graft(sac_state.critic2),
