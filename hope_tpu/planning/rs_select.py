@@ -102,7 +102,10 @@ def find_path(
     )(poses, mask)
 
     rank = jnp.arange(max_tries)
-    eligible = jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[0]))
+    # a path longer than the discretization budget cannot be fully swept —
+    # selecting it would execute an unswept (collision-unchecked) tail
+    sweepable = Ls <= n_points * step_m
+    eligible = sweepable & jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[0]))
     ok = eligible & ~collide
     found = jnp.any(ok)
     pick = jnp.argmax(ok)                              # first ok = shortest
@@ -171,7 +174,9 @@ def find_path_batch(
         )(poses, mask, edges, edge_masks, bounds)
 
     rank = jnp.arange(K)[None, :]
-    eligible = jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[:, :1]))
+    # over-budget paths can't be fully swept (see find_path)
+    sweepable = Ls <= n_points * step_m
+    eligible = sweepable & jnp.isfinite(Ls) & ((rank < 2) | (Ls <= 1.6 * Ls[:, :1]))
     ok = eligible & ~collide
     found = jnp.any(ok, axis=1)
     pick = jnp.argmax(ok, axis=1)

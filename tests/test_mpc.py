@@ -130,7 +130,14 @@ def test_waypoint_latch_two_segment_plan_reaches_dest():
     from hope_tpu.agents import HybridState
     from hope_tpu.planning.staging import compute_staging, waypoint_latch
 
-    env, scenes = _env_and_scenes()
+    # rs_max_points=220 -> 22 m sweep budget: the ~12 m first leg must be
+    # FULLY sweepable or find_path correctly rejects it (budget rule)
+    cfg = EnvConfig(obs=ObsConfig(use_img=False, use_action_mask=False,
+                                  mask_backend="xla"),
+                    max_edges=16, max_obstacles=2, rs_max_points=220,
+                    rs_max_tries=4)
+    env = ParkingEnv(cfg)
+    _, scenes = _env_and_scenes()
     st = compute_staging(env, scenes, max_tries=4)
     hybrid = HybridState.create(2, 64)
     pose = jnp.tile(jnp.asarray([[-8.0, 4.0, 2.0]]), (2, 1))

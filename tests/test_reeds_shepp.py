@@ -202,3 +202,20 @@ def test_action_queue_semantics():
     np.testing.assert_allclose(acts[:, 1], 1.0, atol=1e-5)
     # distance covered equals path length
     np.testing.assert_allclose(np.abs(acts[:, 1]).sum() * step_ratio, float(p.L), rtol=1e-5)
+
+
+def test_over_budget_paths_are_ineligible():
+    """A path longer than n_points * step_m cannot be fully swept — selecting
+    it would execute a collision-unchecked tail, so it must not be found."""
+    corners = jnp.asarray(CFG.box_corners(), jnp.float32)
+    bounds = jnp.asarray([-60.0, 60.0, -60.0, 60.0])
+    start = jnp.asarray([0.0, 0.0, 0.0])
+    goal = jnp.asarray([35.0, 0.0, 0.0])       # 35 m straight, open space
+    free = jnp.zeros((4, 4)), jnp.zeros(4, bool)
+    p = find_path(start, goal, MAXC, corners, *free, bounds,
+                  n_points=288)                # budget 28.8 m < 35 m
+    assert not bool(p.found)
+    p2 = find_path(start, goal, MAXC, corners, *free, bounds,
+                   n_points=400)               # budget 40 m
+    assert bool(p2.found)
+    np.testing.assert_allclose(float(p2.L), 35.0, rtol=1e-5)
