@@ -134,6 +134,23 @@ def main(argv=None):
     enable_persistent_cache()
 
     agent_type = args.agent or ("ppo" if "ppo" in args.ckpt.lower() else "sac")
+
+    def cfg_from_run(cls, key):
+        """Rebuild the agent config from the run's provenance file (written
+        next to the ckpt dir) — optimizer-state structure depends on hparams
+        like lr_decay, and a mismatched template cannot restore."""
+        import dataclasses
+
+        cfgf = os.path.join(
+            os.path.dirname(os.path.abspath(args.ckpt.rstrip("/"))),
+            "config.json")
+        if os.path.exists(cfgf):
+            with open(cfgf) as f:
+                d = json.load(f).get(key)
+            if d:
+                fields = {f.name for f in dataclasses.fields(cls)}
+                return cls(**{k: v for k, v in d.items() if k in fields})
+        return cls()
     obs_cfg = ObsConfig(use_img=not args.no_img)
     env_cfg = EnvConfig(obs=obs_cfg, max_edges=96 if args.no_dlp else 512,
                         max_obstacles=32 if args.no_dlp else 128,
@@ -144,10 +161,12 @@ def main(argv=None):
     if agent_type == "sac":
         agent = SACAgent(actor_net_config(obs_cfg),
                          critic_net_config(obs_cfg, action_input=True),
-                         SACConfig(), env.observation_shape, env.mask_table)
+                         cfg_from_run(SACConfig, "sac"), env.observation_shape,
+                         env.mask_table)
     else:
         agent = PPOAgent(actor_net_config(obs_cfg), critic_net_config(obs_cfg),
-                         PPOConfig(), env.observation_shape, env.mask_table)
+                         cfg_from_run(PPOConfig, "ppo"), env.observation_shape,
+                         env.mask_table)
     state = agent.init(jax.random.PRNGKey(args.seed))
     if args.ckpt != "random":
         state = load_checkpoint(args.ckpt, state)
