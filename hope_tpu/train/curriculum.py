@@ -73,6 +73,14 @@ class SceneChoose:
         fail = fail / fail.sum()
         return int(self.rng.choice(len(LEVELS), p=fail))
 
+    def window_counts(self, window: int = 100) -> np.ndarray:
+        """Episodes recorded per level in the recent window — the best-ckpt
+        gate requires a minimum so a lucky tiny window (e.g. right after a
+        resume reset the histories) can't set an unbeatable bar."""
+        return np.array([
+            len(self.success_record[i][-window:]) for i in range(len(LEVELS))
+        ])
+
     def recent_success(self, window: int = 100) -> np.ndarray:
         out = []
         for i in range(len(LEVELS)):

@@ -263,7 +263,8 @@ def main(argv=None):
             save_checkpoint(os.path.join(args.log_dir, sub), state, n_chunk,
                             single_host=multiproc)
 
-        if episodes_done > 100 and score > best_score:
+        if (episodes_done > 100 and score > best_score
+                and scene_chooser.window_counts().min() >= 50):
             best_score = score
             _save("ckpt_best", ppo_state)
 

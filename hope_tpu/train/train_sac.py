@@ -467,7 +467,8 @@ def main(argv=None):
             # the longer-trained final checkpoint's 0.992).
             capped = np.minimum(sr, TARGET_SUCCESS)
             score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
-            if episodes_done > 100 and score > best_score:
+            if (episodes_done > 100 and score > best_score
+                    and scene_chooser.window_counts().min() >= 50):
                 best_score = score
                 best = to_host(sac_state) if multiproc else sac_state
                 if not multiproc or jax.process_index() == 0:
