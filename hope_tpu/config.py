@@ -104,6 +104,13 @@ class ObsConfig:
     # Pallas kernel (hope_tpu.ops.mask_step_lengths) on TPU and the fused XLA
     # form elsewhere; "pallas"/"xla" force one.
     mask_backend: str = "auto"
+    # BEV obstacle parity: "exact" = per-polygon crossing parity (correct even
+    # for overlapping obstacles — reference-content-faithful, the default);
+    # "global" = one even-odd row-sum over all edges, measured +22% full-obs
+    # rollout throughput (176k vs 144k env-steps/s @ B=1024 v5e), identical
+    # output for disjoint obstacles (all DLP scenes; procedural scenes can
+    # overlap obstacles on ~1% of pixels).
+    raster_parity: str = "exact"
 
 
 @dataclass(frozen=True)

@@ -26,7 +26,7 @@ from ..geometry import (
     pose_to_box,
     segments_intersect,
 )
-from ..geometry.raster import render_bev
+from ..geometry.raster import render_bev, render_bev_exact
 from ..planning import RSPath, find_path, find_path_batch
 from .action_mask import ActionMaskTable, build_table, get_steps, postprocess
 from .lidar import beam_angles, lidar_observation, vehicle_boundary
@@ -88,7 +88,9 @@ class ParkingEnv:
             obs["action_mask"] = get_steps(lidar, self.mask_table, cfg.mask, cfg.lidar)
         if cfg.obs.use_img:
             vbox = pose_to_box(pose, self.corners)
-            obs["img"] = render_bev(
+            render = (render_bev if cfg.obs.raster_parity == "global"
+                      else render_bev_exact)
+            obs["img"] = render(
                 pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
                 scene.edge_poly, cfg.obs, cfg.vehicle, cfg.max_obstacles,
             ).transpose(2, 0, 1)  # CHW (reference observation_rescale)
@@ -128,8 +130,10 @@ class ParkingEnv:
                                         cfg.lidar))(lidar)
         if cfg.obs.use_img:
             vbox = pose_to_box(pose, self.corners)
+            render = (render_bev if cfg.obs.raster_parity == "global"
+                      else render_bev_exact)
             obs["img"] = jax.vmap(
-                lambda p, vb, db, e, m, ep: render_bev(
+                lambda p, vb, db, e, m, ep: render(
                     p, vb, db, e, m, ep, cfg.obs, cfg.vehicle,
                     cfg.max_obstacles,
                 ).transpose(2, 0, 1)

@@ -1,6 +1,6 @@
-"""BEV rasterizer: the ego-frame separable formulation must reproduce the
-world-frame oracle (crossing parity is ray-direction independent) up to
-boundary pixels, and basic content invariants must hold."""
+"""BEV rasterizer: the global even-odd fast path must reproduce the exact
+per-polygon oracle on generated scenes (obstacles are disjoint), and basic
+content invariants must hold."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +24,7 @@ def _scene(seed, level="Complex"):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_ego_matches_world_oracle(seed):
+def test_global_parity_matches_exact_procedural(seed):
     scene = _scene(seed)
     corners = jnp.asarray(VCFG.box_corners())
     for t, pose in enumerate([scene.start,
@@ -37,9 +37,12 @@ def test_ego_matches_world_oracle(seed):
         ref = np.asarray(render_bev_oracle(pose, vb, scene.dest_box,
                                            scene.edges, scene.edge_mask,
                                            scene.edge_poly, OBS, VCFG))
-        # identical up to boundary pixels (different fp ray): allow <0.5%
+        # identical wherever obstacles are disjoint (both paths share the
+        # same ray and crossing formulas); the procedural generator DOES
+        # overlap obstacles occasionally — even-odd XORs those regions out
+        # (<~2% of pixels, the documented "global" mode deviation)
         frac = np.mean(np.any(new != ref, axis=-1))
-        assert frac < 0.005, (seed, t, frac)
+        assert frac < 0.02, (seed, t, frac)
 
 
 def test_bev_content_invariants():
@@ -73,3 +76,48 @@ def test_bev_empty_scene_is_background_plus_car_dest():
     grey = np.all(np.isclose(img, 150 / 255.0), axis=-1)
     assert not grey.any()      # padded edges never rasterize
     assert (img == 0).all(axis=-1).mean() > 0.5   # mostly background
+
+
+@pytest.mark.parametrize("case", [0, 57, 133])
+def test_global_parity_matches_exact_on_dlp(case):
+    """DLP obstacle footprints are disjoint polygons, so the global even-odd
+    fast path must reproduce the exact per-polygon rasterization."""
+    from hope_tpu.envs.dlp import DLPDataset
+    from hope_tpu.geometry.raster import render_bev_exact
+
+    cfg = EnvConfig(obs=ObsConfig(use_img=True), max_edges=512,
+                    max_obstacles=128)
+    ds = DLPDataset(env_cfg=cfg)
+    scene = jax.tree.map(
+        lambda x: x[0],
+        ds.batch_reset(jax.random.split(jax.random.PRNGKey(case), 1),
+                       jnp.asarray([case % ds.n_cases])))
+    corners = jnp.asarray(VCFG.box_corners())
+    for pose in (scene.start, scene.dest):
+        vb = pose_to_box(pose, corners)
+        fast = np.asarray(render_bev(pose, vb, scene.dest_box, scene.edges,
+                                     scene.edge_mask, scene.edge_poly,
+                                     OBS, VCFG, 128))
+        exact = np.asarray(render_bev_exact(pose, vb, scene.dest_box,
+                                            scene.edges, scene.edge_mask,
+                                            scene.edge_poly, OBS, VCFG, 128))
+        frac = np.mean(np.any(fast != exact, axis=-1))
+        assert frac < 0.002, (case, frac)
+
+
+def test_env_raster_parity_flag():
+    """ObsConfig.raster_parity switches the obs render path; both produce the
+    same image on a DLP-style disjoint scene."""
+    from hope_tpu.envs import ParkingEnv
+    from hope_tpu.envs.scenario_gen import generate_bank
+
+    scenes, _ = generate_bank(jax.random.PRNGKey(3), level="Normal", n=2)
+    imgs = {}
+    for mode in ("exact", "global"):
+        env = ParkingEnv(EnvConfig(obs=ObsConfig(use_img=True,
+                                                 raster_parity=mode),
+                                   max_edges=96, max_obstacles=32))
+        _, obs = env.batch_reset(scenes)
+        imgs[mode] = np.asarray(obs["img"])
+    frac = np.mean(imgs["exact"] != imgs["global"])
+    assert frac < 0.02   # identical up to overlap regions
