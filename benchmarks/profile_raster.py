@@ -1,12 +1,14 @@
 """Roofline + trace capture for the full-obs (BEV image + RS) rollout — the
 configuration the flagship training uses, and the slowest bench variant.
 
-Round-3 verdict: img_and_rs_on ran at ~140k env-steps/s (5x below obs-only),
-dominated by the rasterizer.  This script measures (a) the per-step XLA cost
-model of the full-obs batched step (flops / HBM bytes -> roofline position
-against v5e peaks), (b) the isolated rasterizer before/after the round-4
-ego-frame reformulation (``render_bev`` vs ``render_bev_oracle``), and (c)
-captures a jax.profiler trace of the steady-state rollout.
+The rollout mirrors bench.py's: masked random actions DEPEND on the
+observation (mask), and the scan carries the obs dict, so the rasterizer is
+live computation (a rollout that ignores obs lets XLA dead-code-eliminate the
+render entirely — measured 4.9 ms vs the real ~710 ms per 100-step call, a
+trap this harness explicitly avoids).  Isolated single-op timings through the
+axon tunnel are not trustworthy either (block_until_ready returns in ~40 us
+for a 50 MB render batch); only fused-rollout A/Bs are reported — see the
+"Full-obs rollout" section of BASELINE.md for the decomposition.
 
 Usage: python benchmarks/profile_raster.py [--trace runlogs/trace_imgrs]
 Prints one JSON object.
@@ -27,73 +29,67 @@ enable_persistent_cache()
 import jax                    # noqa: E402
 import jax.numpy as jnp       # noqa: E402
 
-from hope_tpu.config import EnvConfig, ObsConfig, VehicleConfig  # noqa: E402
-from hope_tpu.envs import ParkingEnv                              # noqa: E402
-from hope_tpu.envs.scenario_gen import generate_bank              # noqa: E402
-from hope_tpu.geometry import pose_to_box                         # noqa: E402
-from hope_tpu.geometry.raster import render_bev, render_bev_oracle  # noqa: E402
-from hope_tpu.utils.profiling import compiled_cost, time_fn, trace  # noqa: E402
+from hope_tpu.config import EnvConfig, ObsConfig  # noqa: E402
+from hope_tpu.envs import ParkingEnv, choose_action  # noqa: E402
+from hope_tpu.envs.scenario_gen import generate_bank  # noqa: E402
+from hope_tpu.utils.profiling import compiled_cost, trace  # noqa: E402
+
+
+def build_rollout(env, B, steps=100):
+    @jax.jit
+    def rollout(state, obs, key):
+        def step(carry, k):
+            state, obs = carry
+
+            def pick(m, s, mk, kk):
+                a, _ = choose_action(kk, m, s, mk, env.mask_table)
+                return a
+
+            keys = jax.random.split(k, B)
+            acts = jax.vmap(pick)(jnp.zeros((B, 2)), jnp.ones((B, 2)),
+                                  obs["action_mask"], keys)
+            state, obs, r, done, info = env.batch_step(
+                state, env.rescale_action(acts), search_rs=True)
+            return (state, obs), r
+
+        (state, obs), rs = jax.lax.scan(step, (state, obs),
+                                        jax.random.split(key, steps))
+        return state, obs, rs
+
+    return rollout
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--trace", type=str, default=None)
     args = ap.parse_args()
-    B = args.batch
+    B, S = args.batch, args.steps
 
-    obs_cfg = ObsConfig(use_img=True)
-    env_cfg = EnvConfig(obs=obs_cfg, max_edges=96, max_obstacles=32)
-    env = ParkingEnv(env_cfg)
-    vcfg = env_cfg.vehicle
     key = jax.random.PRNGKey(0)
-    scenes, _ = generate_bank(key, level="Normal", n=B)
-    state, obs = env.batch_reset(scenes)
-    corners = jnp.asarray(vcfg.box_corners())
-
+    k1, k2, k3 = jax.random.split(key, 3)
     out = {}
+    for mode in ("exact", "global"):
+        obs_cfg = ObsConfig(use_img=True, raster_parity=mode)
+        env_cfg = EnvConfig(obs=obs_cfg, max_edges=96, max_obstacles=32)
+        env = ParkingEnv(env_cfg)
+        bay, _ = generate_bank(k1, level="Normal", n=B // 2, bay_ratio=1.0)
+        par, _ = generate_bank(k2, level="Normal", n=B // 2, bay_ratio=0.0)
+        scenes = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), bay, par)
+        state, obs = env.batch_reset(scenes)
+        rollout = build_rollout(env, B, S)
 
-    # (b) isolated rasterizer: new ego-frame vs world-frame oracle
-    poses = jnp.stack([state.vehicle.x, state.vehicle.y,
-                       state.vehicle.heading], -1)
-    vboxes = jax.vmap(lambda p: pose_to_box(p, corners))(poses)
-
-    def raster_batch(fn):
-        f = jax.jit(jax.vmap(
-            lambda p, vb, db, e, m, ep: fn(p, vb, db, e, m, ep,
-                                           obs_cfg, vcfg)))
-        return f, (poses, vboxes, scenes.dest_box, scenes.edges,
-                   scenes.edge_mask, scenes.edge_poly)
-
-    for name, fn in [("raster_ego", render_bev),
-                     ("raster_world_oracle", render_bev_oracle)]:
-        f, a = raster_batch(fn)
-        t = time_fn(f, *a, warmup=2, iters=20)
-        out[name] = {"ms_per_batch": round(t["mean_ms"], 3),
-                     "renders_per_sec": round(B * t["calls_per_sec"], 1)}
-
-    # (a) full-obs batched step roofline (20-step in-jit scan, per-step cost)
-    @jax.jit
-    def rollout(state, key):
-        def step(st, k):
-            act = jax.random.uniform(k, (B, 2), minval=-1, maxval=1)
-            st, o, r, d, info = env.batch_step(
-                st, env.rescale_action(act), search_rs=True)
-            return st, r
-
-        st, rs = jax.lax.scan(step, state, jax.random.split(key, 20))
-        return st, rs
-
-    cost = compiled_cost(rollout, state, jax.random.PRNGKey(1))
-    out["full_obs_rollout"] = dict(
-        cost,
-        env_steps_per_sec=round(B * 20 / (cost["mean_ms"] / 1e3), 1),
-    )
-
-    if args.trace:
-        with trace(args.trace):
-            jax.block_until_ready(rollout(state, jax.random.PRNGKey(2)))
-        out["trace_dir"] = args.trace
+        cost = compiled_cost(rollout, state, obs, k3)
+        cost["env_steps_per_sec"] = round(B * S / (cost["mean_ms"] / 1e3), 1)
+        out[f"full_obs_{mode}"] = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in cost.items()}
+        if args.trace and mode == "exact":
+            with trace(args.trace):
+                r = rollout(state, obs, jax.random.fold_in(k3, 9))
+                jax.block_until_ready(r)
+            out["trace_dir"] = args.trace
 
     print(json.dumps(out))
 
