@@ -42,7 +42,8 @@ def test_train_sac_cli_devices_8(tmp_path):
 
     main(["--smoke", "--devices", "8", "--log-dir", str(tmp_path / "dp8"),
           "--no-tensorboard"])
-    assert (tmp_path / "dp8" / "ckpt").exists()
+    # the exit save is the full-fidelity loop checkpoint (round 4)
+    assert (tmp_path / "dp8" / "ckpt_full").exists()
 
 
 def test_sac_chunk_sharded_matches_single_device():
