@@ -111,6 +111,11 @@ class ObsConfig:
     # output for disjoint obstacles (all DLP scenes; procedural scenes can
     # overlap obstacles on ~1% of pixels).
     raster_parity: str = "exact"
+    # polygon-level edge prefilter before rasterizing: keep whole polygons by
+    # ascending distance to the image center up to this edge budget (0 = off).
+    # Parity-safe (geometry/raster.prefilter_polys); pays off on DLP's
+    # 512-edge scenes — the image only sees a ~15 m radius.
+    raster_edge_budget: int = 0
 
 
 @dataclass(frozen=True)

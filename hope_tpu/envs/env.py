@@ -26,7 +26,7 @@ from ..geometry import (
     pose_to_box,
     segments_intersect,
 )
-from ..geometry.raster import render_bev, render_bev_exact
+from ..geometry.raster import prefilter_polys, render_bev, render_bev_exact
 from ..planning import RSPath, find_path, find_path_batch
 from .action_mask import ActionMaskTable, build_table, get_steps, postprocess
 from .lidar import beam_angles, lidar_observation, vehicle_boundary
@@ -74,6 +74,24 @@ class ParkingEnv:
         return jnp.stack([rel_dist, jnp.cos(rel_angle), jnp.sin(rel_angle),
                           jnp.cos(rel_heading), fifth])
 
+    def _raster_edges(self, pose, scene: Scene):
+        """Edge set fed to the rasterizer: the full scene set, or (when
+        ``obs.raster_edge_budget`` > 0) the polygon-level prefiltered subset —
+        only whole polygons within the image radius, parity-safe
+        (``geometry.raster.prefilter_polys``)."""
+        cfg = self.cfg
+        budget = cfg.obs.raster_edge_budget
+        if not budget:
+            return scene.edges, scene.edge_mask, scene.edge_poly
+        cx_off = (cfg.vehicle.front_hang + cfg.vehicle.wheel_base
+                  - cfg.vehicle.rear_hang) / 2.0
+        center = pose[:2] + cx_off * jnp.stack(
+            [jnp.cos(pose[2]), jnp.sin(pose[2])])
+        radius = cfg.obs.img_size * cfg.obs.img_res * math.sqrt(2) / 2 + 1.0
+        return prefilter_polys(center, scene.edges, scene.edge_mask,
+                               scene.edge_poly, budget, radius,
+                               cfg.max_obstacles)
+
     def observe(self, state: EnvState) -> dict:
         """Observation dict for one env (reference render :383-411)."""
         cfg = self.cfg
@@ -90,9 +108,10 @@ class ParkingEnv:
             vbox = pose_to_box(pose, self.corners)
             render = (render_bev if cfg.obs.raster_parity == "global"
                       else render_bev_exact)
+            re, rm, rp = self._raster_edges(pose, scene)
             obs["img"] = render(
-                pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
-                scene.edge_poly, cfg.obs, cfg.vehicle, cfg.max_obstacles,
+                pose, vbox, scene.dest_box, re, rm, rp,
+                cfg.obs, cfg.vehicle, cfg.max_obstacles,
             ).transpose(2, 0, 1)  # CHW (reference observation_rescale)
         obs["target"] = self._target_repr(pose, scene.dest)
         return obs
@@ -133,12 +152,11 @@ class ParkingEnv:
             render = (render_bev if cfg.obs.raster_parity == "global"
                       else render_bev_exact)
             obs["img"] = jax.vmap(
-                lambda p, vb, db, e, m, ep: render(
-                    p, vb, db, e, m, ep, cfg.obs, cfg.vehicle,
-                    cfg.max_obstacles,
+                lambda p, vb, db, sc: render(
+                    p, vb, db, *self._raster_edges(p, sc),
+                    cfg.obs, cfg.vehicle, cfg.max_obstacles,
                 ).transpose(2, 0, 1)
-            )(pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
-              scene.edge_poly)
+            )(pose, vbox, scene.dest_box, scene)
         obs["target"] = jax.vmap(self._target_repr)(pose, scene.dest)
         return obs
 

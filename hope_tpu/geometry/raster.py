@@ -138,3 +138,51 @@ def render_bev_exact(pose, vehicle_box, dest_box, edges, edge_mask, edge_poly,
 
 # backwards-compat alias for the differential tests
 render_bev_oracle = render_bev_exact
+
+
+def prefilter_polys(center, edges, edge_mask, edge_poly, budget: int,
+                    radius: float, max_polys: int = 64):
+    """Polygon-level edge prefilter for the rasterizer (opt-in fast path).
+
+    Only polygons within ``radius`` of the image center can color any pixel,
+    and crossing parity is preserved when WHOLE polygons are dropped (a closed
+    polygon entirely beyond the image crosses the parity ray an even number of
+    times) — so edges are regrouped by ascending polygon distance and cut at
+    ``budget`` on a whole-polygon boundary.  In-radius polygons that do not
+    fit the budget are dropped entirely (never truncated mid-ring), trading a
+    bounded visual artifact for guaranteed parity correctness; typical scenes
+    keep every in-radius polygon (procedural: ~1/3 of 96 edges near the car,
+    DLP: <15% of 512).
+
+    Args:
+      center: (2,) ego/image center (vehicle box centroid).
+      edges/(E,4), edge_mask/(E,), edge_poly/(E,): the scene edge set.
+      budget: static output edge count K.
+      radius: keep polygons with min edge distance below this (image
+        half-diagonal + margin).
+
+    Returns:
+      (K, 4) edges, (K,) mask, (K,) poly ids — feed to the render functions.
+    """
+    from .segments import point_segment_distance
+
+    E = edges.shape[0]
+    d = point_segment_distance(center[None, :], edges)[0]          # (E,)
+    d = jnp.where(edge_mask, d, jnp.inf)
+    onehot = (edge_poly[:, None] == jnp.arange(max_polys)[None, :])
+    onehot = onehot & edge_mask[:, None]                           # (E, K_p)
+    poly_d = jnp.min(jnp.where(onehot, d[:, None], jnp.inf), axis=0)
+    poly_near = poly_d <= radius                                   # (K_p,)
+    poly_n_edges = jnp.sum(onehot, axis=0)                         # (K_p,)
+
+    # order polygons by distance; a polygon survives iff near AND its edges
+    # fit the budget after all nearer polygons
+    order = jnp.argsort(poly_d)                                    # (K_p,)
+    counts = jnp.where(poly_near, poly_n_edges, 0)[order]
+    fits_sorted = (jnp.cumsum(counts) <= budget) & poly_near[order]
+    fits = jnp.zeros_like(fits_sorted).at[order].set(fits_sorted)  # (K_p,)
+
+    edge_keep = edge_mask & fits[jnp.clip(edge_poly, 0, max_polys - 1)]
+    # stable-compact kept edges to the front, then cut at the static budget
+    idx = jnp.argsort(~edge_keep, stable=True)[:budget]
+    return edges[idx], edge_keep[idx], edge_poly[idx]

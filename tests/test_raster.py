@@ -121,3 +121,79 @@ def test_env_raster_parity_flag():
         imgs[mode] = np.asarray(obs["img"])
     frac = np.mean(imgs["exact"] != imgs["global"])
     assert frac < 0.02   # identical up to overlap regions
+
+
+def test_prefilter_polys_identity_when_all_fit():
+    """With a budget that fits every in-radius polygon, the prefiltered render
+    is IDENTICAL to the full render (whole-polygon drops are parity-safe and
+    out-of-radius polygons cannot color any pixel)."""
+    from hope_tpu.geometry.raster import prefilter_polys, render_bev_exact
+
+    scene = _scene(1, "Complex")
+    corners = jnp.asarray(VCFG.box_corners())
+    radius = OBS.img_size * OBS.img_res * np.sqrt(2) / 2 + 1.0
+    for pose in (scene.start, scene.dest):
+        vb = pose_to_box(pose, corners)
+        cx_off = (VCFG.front_hang + VCFG.wheel_base - VCFG.rear_hang) / 2.0
+        center = pose[:2] + cx_off * jnp.asarray(
+            [jnp.cos(pose[2]), jnp.sin(pose[2])])
+        fe, fm, fp = prefilter_polys(center, scene.edges, scene.edge_mask,
+                                     scene.edge_poly, budget=96,
+                                     radius=radius)
+        full = np.asarray(render_bev_exact(
+            pose, vb, scene.dest_box, scene.edges, scene.edge_mask,
+            scene.edge_poly, OBS, VCFG))
+        pre = np.asarray(render_bev_exact(
+            pose, vb, scene.dest_box, fe, fm, fp, OBS, VCFG))
+        np.testing.assert_array_equal(full, pre)
+        # and it actually filters something on this scene
+        assert int(np.asarray(fm).sum()) <= int(np.asarray(scene.edge_mask).sum())
+
+
+def test_prefilter_polys_dlp_budget():
+    """DLP scene: a 160-edge budget reproduces the full 512-edge render."""
+    from hope_tpu.envs.dlp import DLPDataset
+    from hope_tpu.geometry.raster import prefilter_polys, render_bev_exact
+
+    cfg = EnvConfig(obs=ObsConfig(use_img=True), max_edges=512,
+                    max_obstacles=128)
+    ds = DLPDataset(env_cfg=cfg)
+    scene = jax.tree.map(
+        lambda x: x[0],
+        ds.batch_reset(jax.random.split(jax.random.PRNGKey(5), 1),
+                       jnp.asarray([5])))
+    corners = jnp.asarray(VCFG.box_corners())
+    radius = OBS.img_size * OBS.img_res * np.sqrt(2) / 2 + 1.0
+    pose = scene.start
+    vb = pose_to_box(pose, corners)
+    cx_off = (VCFG.front_hang + VCFG.wheel_base - VCFG.rear_hang) / 2.0
+    center = pose[:2] + cx_off * jnp.asarray(
+        [jnp.cos(pose[2]), jnp.sin(pose[2])])
+    fe, fm, fp = prefilter_polys(center, scene.edges, scene.edge_mask,
+                                 scene.edge_poly, budget=160, radius=radius,
+                                 max_polys=128)
+    full = np.asarray(render_bev_exact(pose, vb, scene.dest_box, scene.edges,
+                                       scene.edge_mask, scene.edge_poly,
+                                       OBS, VCFG, 128))
+    pre = np.asarray(render_bev_exact(pose, vb, scene.dest_box, fe, fm, fp,
+                                      OBS, VCFG, 128))
+    np.testing.assert_array_equal(full, pre)
+    kept = int(np.asarray(fm).sum())
+    live = int(np.asarray(scene.edge_mask).sum())
+    assert kept < live, (kept, live)   # real reduction on DLP clutter
+
+
+def test_env_raster_edge_budget_identical_obs():
+    """The opt-in env-level prefilter produces bit-identical image obs."""
+    from hope_tpu.envs import ParkingEnv
+    from hope_tpu.envs.scenario_gen import generate_bank
+
+    scenes, _ = generate_bank(jax.random.PRNGKey(9), level="Complex", n=2)
+    imgs = {}
+    for budget in (0, 96):
+        env = ParkingEnv(EnvConfig(obs=ObsConfig(use_img=True,
+                                                 raster_edge_budget=budget),
+                                   max_edges=96, max_obstacles=32))
+        _, obs = env.batch_reset(scenes)
+        imgs[budget] = np.asarray(obs["img"])
+    np.testing.assert_array_equal(imgs[0], imgs[96])
