@@ -353,7 +353,9 @@ def main(argv=None):
     t_ep = time.perf_counter() - t0
 
     from ..evaluation.evaluate import summarize, write_report
+    from ..evaluation.render import save_record
 
+    save_record(os.path.join(args.out, "record_mpc.npz"), metrics)
     summary = summarize(metrics, max_steps=args.max_steps)
     summary["episode_batch_seconds"] = round(t_ep, 3)
     summary["config"] = {"replan_every": args.replan_every,
