@@ -273,6 +273,12 @@ def main(argv=None):
                          "pose with a verified RS completion")
     ap.add_argument("--staging-tries", type=int, default=6,
                     help="RS words collision-checked per staging candidate")
+    ap.add_argument("--portfolio", action="store_true",
+                    help="after the main battery, re-run it at half the "
+                         "replan cadence and take the per-scene union — the "
+                         "residual time-outs are config-marginal (each "
+                         "solvable under SOME cadence), so the portfolio "
+                         "recovers them at 2x plan compute")
     ap.add_argument("--out", type=str, default="log/mpc")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--smoke", action="store_true")
@@ -342,14 +348,24 @@ def main(argv=None):
         jax.block_until_ready(staging)
         t_stag = time.perf_counter() - t0
 
-    run = build_mpc_runner(env, ilqr_cfg, args.replan_every, args.max_steps,
-                           rs_exec=not args.no_rs_exec,
-                           step_rs=not args.no_step_rs,
-                           use_staging=use_staging)
+    def run_battery(replan_every):
+        run = build_mpc_runner(env, ilqr_cfg, replan_every, args.max_steps,
+                               rs_exec=not args.no_rs_exec,
+                               step_rs=not args.no_step_rs,
+                               use_staging=use_staging)
+        return jax.tree.map(np.asarray,
+                            run(scenes, staging) if use_staging
+                            else run(scenes))
+
     t0 = time.perf_counter()
-    metrics = jax.tree.map(np.asarray,
-                           run(scenes, staging) if use_staging
-                           else run(scenes))
+    metrics = run_battery(args.replan_every)
+    if args.portfolio:
+        alt = run_battery(max(1, args.replan_every // 2))
+        newly = alt["success"] & ~metrics["success"]
+        for k in ("success", "steps", "path_length", "status", "finished",
+                  "rs_latched", "way_latched"):
+            sel = newly.reshape((-1,) + (1,) * (metrics[k].ndim - 1))
+            metrics[k] = np.where(sel, alt[k], metrics[k])
     t_ep = time.perf_counter() - t0
 
     from ..evaluation.evaluate import summarize, write_report
