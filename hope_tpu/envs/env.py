@@ -58,6 +58,10 @@ class ParkingEnv:
         self._pallas_mask = (backend == "pallas" or
                              (backend == "auto"
                               and jax.default_backend() == "tpu"))
+        rbackend = cfg.obs.raster_backend
+        self._pallas_raster = (rbackend == "pallas" or
+                               (rbackend == "auto"
+                                and jax.default_backend() == "tpu"))
 
     # ------------------------------------------------------------------ obs
 
@@ -149,14 +153,22 @@ class ParkingEnv:
                                         cfg.lidar))(lidar)
         if cfg.obs.use_img:
             vbox = pose_to_box(pose, self.corners)
-            render = (render_bev if cfg.obs.raster_parity == "global"
-                      else render_bev_exact)
-            obs["img"] = jax.vmap(
-                lambda p, vb, db, sc: render(
-                    p, vb, db, *self._raster_edges(p, sc),
-                    cfg.obs, cfg.vehicle, cfg.max_obstacles,
-                ).transpose(2, 0, 1)
-            )(pose, vbox, scene.dest_box, scene)
+            if self._pallas_raster:
+                from ..ops.raster_bev import render_bev_batch
+
+                obs["img"] = render_bev_batch(
+                    pose, vbox, scene.dest_box, scene.edges, scene.edge_mask,
+                    scene.edge_poly, cfg.obs, cfg.vehicle,
+                ).transpose(0, 3, 1, 2)
+            else:
+                render = (render_bev if cfg.obs.raster_parity == "global"
+                          else render_bev_exact)
+                obs["img"] = jax.vmap(
+                    lambda p, vb, db, sc: render(
+                        p, vb, db, *self._raster_edges(p, sc),
+                        cfg.obs, cfg.vehicle, cfg.max_obstacles,
+                    ).transpose(2, 0, 1)
+                )(pose, vbox, scene.dest_box, scene)
         obs["target"] = jax.vmap(self._target_repr)(pose, scene.dest)
         return obs
 

@@ -172,6 +172,21 @@ def prefilter_polys(center, edges, edge_mask, edge_poly, budget: int,
     onehot = (edge_poly[:, None] == jnp.arange(max_polys)[None, :])
     onehot = onehot & edge_mask[:, None]                           # (E, K_p)
     poly_d = jnp.min(jnp.where(onehot, d[:, None], jnp.inf), axis=0)
+    # A polygon that ENCLOSES the image while all its edges sit beyond
+    # ``radius`` (e.g. a huge boundary ring passed as an obstacle) would flip
+    # inside-parity for every pixel if dropped — the even-crossings argument
+    # only covers polygons the ray exits AND enters.  Guard: any polygon whose
+    # bbox contains the image center is force-kept (distance -1, sorts first).
+    ex = jnp.stack([edges[:, 0], edges[:, 2]], -1)                 # (E, 2)
+    ey = jnp.stack([edges[:, 1], edges[:, 3]], -1)
+    big = jnp.float32(1e9)
+    minx = jnp.min(jnp.where(onehot, jnp.min(ex, -1)[:, None], big), axis=0)
+    maxx = jnp.max(jnp.where(onehot, jnp.max(ex, -1)[:, None], -big), axis=0)
+    miny = jnp.min(jnp.where(onehot, jnp.min(ey, -1)[:, None], big), axis=0)
+    maxy = jnp.max(jnp.where(onehot, jnp.max(ey, -1)[:, None], -big), axis=0)
+    encloses = ((minx <= center[0]) & (center[0] <= maxx)
+                & (miny <= center[1]) & (center[1] <= maxy))
+    poly_d = jnp.where(encloses, -1.0, poly_d)
     poly_near = poly_d <= radius                                   # (K_p,)
     poly_n_edges = jnp.sum(onehot, axis=0)                         # (K_p,)
 

@@ -55,12 +55,20 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: _to_global(x, sh), tree)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_fn(mesh: Mesh):
+    return jax.jit(lambda t: t, out_shardings=replicated(mesh))
+
+
 def gather_replicated(tree, mesh: Mesh):
     """Reshard a (possibly dp-sharded) pytree to fully-replicated so every
     process can materialize it on host (jitted identity with replicated
-    out_shardings = one allgather)."""
-    f = jax.jit(lambda t: t, out_shardings=replicated(mesh))
-    return f(tree)
+    out_shardings = one allgather).  The jitted identity is cached per mesh so
+    per-chunk gathers reuse the compiled executable instead of re-tracing."""
+    return _gather_fn(mesh)(tree)
 
 
 def barrier(name: str, timeout_s: int = 600):

@@ -117,8 +117,11 @@ def build_mpc_runner(env: ParkingEnv, ilqr_cfg: ILQRConfig,
                                env.cfg.step_ratio)
             if rs_exec and use_staging and staging is not None:
                 # even replans try the 4 cheapest valid staging candidates;
-                # odd replans slide the window deeper (4..24) so a stuck env
-                # eventually attempts every valid candidate
+                # odd replans slide the window deeper (offsets 4..20), so a
+                # stuck env cycles through the 24 cheapest candidates (ranks
+                # 24+ of the full set are never attempted — deeper offsets
+                # measured no additional DLP successes, the residual failures
+                # are RS-unreachable from everywhere iLQR explores)
                 off = jnp.where(t % 2 == 0, 0, 4 * (((t // 2) % 5) + 1))
                 hybrid, wl = waypoint_latch(env, staging, pose, scenes,
                                             hybrid, ~finished,

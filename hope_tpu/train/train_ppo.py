@@ -188,6 +188,17 @@ def main(argv=None):
     best_score = (-1.0, -1.0)
     t_start = time.time()
 
+    def _save(sub, state):
+        # collective gather on EVERY process, write gated on process 0
+        if multiproc:
+            from ..parallel.mesh import gather_replicated
+
+            state = jax.tree.map(np.asarray, gather_replicated(state, mesh))
+            if jax.process_index() != 0:
+                return
+        save_checkpoint(os.path.join(args.log_dir, sub), state, n_chunk,
+                        single_host=multiproc)
+
     while episodes_done < args.episodes:
         if args.max_seconds and time.time() - t_start > args.max_seconds:
             break
@@ -252,17 +263,6 @@ def main(argv=None):
         # mean-of-capped works under batched training
         capped = np.minimum(sr, TARGET_SUCCESS)
         score = (round(float(capped.mean()), 9), round(float(sr.mean()), 9))
-        def _save(sub, state):
-            if multiproc:
-                from ..parallel.mesh import gather_replicated
-
-                state = jax.tree.map(np.asarray,
-                                     gather_replicated(state, mesh))
-                if jax.process_index() != 0:
-                    return
-            save_checkpoint(os.path.join(args.log_dir, sub), state, n_chunk,
-                            single_host=multiproc)
-
         if (episodes_done > 100 and score > best_score
                 and scene_chooser.window_counts().min() >= 50):
             best_score = score
@@ -275,15 +275,19 @@ def main(argv=None):
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 
-    if args.final_eval and (not multiproc or jax.process_index() == 0):
+    if args.final_eval:
         from ..evaluation.eval_mix_scene import run_battery
 
+        # collective gather on EVERY process before the process-0 gate —
+        # gathering inside the gate hangs the multi-host job at exit
         ev_state = ppo_state
         if multiproc:
             from ..parallel.mesh import gather_replicated
 
             ev_state = jax.tree.map(np.asarray,
                                     gather_replicated(ev_state, mesh))
+        if multiproc and jax.process_index() != 0:
+            return
         results = run_battery(env, agent, ev_state, "ppo",
                               episodes=args.final_eval,
                               out=os.path.join(args.log_dir, "final_eval"),

@@ -494,15 +494,21 @@ def main(argv=None):
     print(json.dumps({"final_episodes": episodes_done,
                       "steps_per_sec": total_steps / (time.time() - t_start)}))
 
-    if args.final_eval and (not multiproc or jax.process_index() == 0):
+    if args.final_eval:
         from ..evaluation.eval_mix_scene import run_battery
 
+        # The allgather is a collective: EVERY process must participate
+        # before gating the battery itself on process 0 (gather inside the
+        # process-0 branch hangs the other processes' exit — same rule as
+        # to_host/_save above).
         ev_state = sac_state
         if multiproc:
             from ..parallel.mesh import gather_replicated
 
             ev_state = jax.tree.map(np.asarray,
                                     gather_replicated(ev_state, mesh))
+        if multiproc and jax.process_index() != 0:
+            return
         results = run_battery(env, agent, ev_state, "sac",
                               episodes=args.final_eval,
                               out=os.path.join(args.log_dir, "final_eval"),
