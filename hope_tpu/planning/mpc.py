@@ -262,7 +262,13 @@ def main(argv=None):
                          "candidate; caps validatable path length at "
                          "rs_points * rs_step_size metres)")
     ap.add_argument("--no-dlp", action="store_true",
-                    help="procedural Normal battery instead of DLP mixed")
+                    help="procedural battery instead of DLP mixed")
+    ap.add_argument("--level", type=str, default="Normal",
+                    choices=["Normal", "Complex", "Extrem"],
+                    help="procedural battery difficulty (with --no-dlp); the "
+                         "RL agent's 4-battery protocol runs all of "
+                         "Normal/Complex/Extrem/dlp (reference "
+                         "eval_mix_scene.py:88-115)")
     ap.add_argument("--no-rs-exec", action="store_true",
                     help="ablation: refine+execute iLQR controls everywhere "
                          "instead of executing latched RS plans verbatim")
@@ -324,7 +330,7 @@ def main(argv=None):
         from ..envs.scenario_gen import generate_bank
         from ..train.scene_pool import pad_scene_batch
 
-        scenes, _ = generate_bank(k1, level="Normal", n=args.episodes)
+        scenes, _ = generate_bank(k1, level=args.level, n=args.episodes)
         scenes = pad_scene_batch(scenes, env_cfg.max_edges,
                                  env_cfg.max_obstacles)
     else:
@@ -384,7 +390,8 @@ def main(argv=None):
                          "rs_points": env_cfg.rs_max_points,
                          "step_rs": not args.no_step_rs,
                          "staging": use_staging,
-                         "battery": "Normal" if args.no_dlp else "dlp"}
+                         "portfolio": args.portfolio,
+                         "battery": args.level if args.no_dlp else "dlp"}
     if use_staging:
         n_valid = np.asarray(np.isfinite(np.asarray(staging.L)).sum(1))
         summary["staging"] = {
@@ -407,8 +414,8 @@ def main(argv=None):
     print(json.dumps({"metric": "mpc_success_rate",
                       "value": summary["success_rate"],
                       "unit": f"fraction ({args.episodes} "
-                              f"{'Normal' if args.no_dlp else 'DLP'} episodes, "
-                              f"RS warm start + iLQR)",
+                              f"{args.level if args.no_dlp else 'DLP'} "
+                              f"episodes, RS warm start + iLQR)",
                       "qp_solves_per_sec": round(lat["qp_solves_per_sec"], 1),
                       "plan_p50_ms": round(lat["p50_s"] * 1e3, 2),
                       "plan_p50_ms_single": round(lat1["p50_s"] * 1e3, 2)}),

@@ -35,10 +35,14 @@ from .rs_select import find_path_batch
 # trained RL policy finds it by fiddling — eval shows latching from scattered
 # poses), so a sparse hand-picked set misses it on ~half the scenes; a dense
 # grid recovers it at linear precompute cost (one batched RS search per
-# candidate, scanned).
-_RADII = (2.0, 3.0, 4.5, 6.0, 8.0)
+# candidate, scanned).  Round-5 densification: the round-4 grid (radii from
+# 2 m, 8 headings at 45 deg) left 82% of EXTREM scenes with zero valid
+# candidates (log/mpc_r5_extrem) — tight-clearance slots only admit short
+# completions from close, near-aligned poses, so radii now start at 1 m and
+# headings step 30 deg.
+_RADII = (1.0, 1.5, 2.0, 3.0, 4.5, 6.0, 8.0)
 _N_ANGLES = 8
-_N_HEADINGS = 8
+_N_HEADINGS = 12
 
 
 def staging_candidates(dest,

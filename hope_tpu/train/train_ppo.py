@@ -62,6 +62,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--max-seconds", type=float, default=0.0)
+    ap.add_argument("--max-chunks", type=int, default=0,
+                    help="stop after N chunks (0 = episode-count only); the "
+                         "deterministic stop for multi-process runs, where a "
+                         "wall-clock cutoff could diverge between processes "
+                         "and strand a collective")
     ap.add_argument("--resume", type=str, default=None,
                     help="orbax ckpt dir: restore the full PPOState (params, "
                          "optimizers, normalizer, counters) and continue "
@@ -270,6 +275,9 @@ def main(argv=None):
 
         if args.save_every and n_chunk % args.save_every == 0:
             _save("ckpt", ppo_state)
+
+        if args.max_chunks and n_chunk >= args.max_chunks:
+            break
 
     _save("ckpt", ppo_state)
     print(json.dumps({"final_episodes": episodes_done,
