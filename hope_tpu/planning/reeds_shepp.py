@@ -345,16 +345,17 @@ def sample_path(lengths, steers, start, maxc, n_points, step_m):
       mask: (N,) bool live samples.
       dirs: (N,) float — +1 forward / -1 backward per sample.
     """
+    n_seg = lengths.shape[0]          # 5 for RS words; larger for wiggle plans
     abs_len = jnp.abs(lengths)
     cum = jnp.cumsum(abs_len)
     total = cum[-1]
     starts_cum = jnp.concatenate([jnp.zeros(1), cum[:-1]])
 
     # segment start poses in the normalized local frame (unit curvature);
-    # unrolled over the 5 segments (no scan: tiny fixed trip count)
+    # unrolled over the segments (no scan: tiny fixed trip count)
     seg_starts = []
     x0 = y0 = th0 = jnp.zeros(())
-    for i in range(N_SEG):
+    for i in range(n_seg):
         seg_starts.append(jnp.stack([x0, y0, th0]))
         l, sig_i = lengths[i], steers[i]
         straight = sig_i == 0.0
@@ -377,9 +378,9 @@ def sample_path(lengths, steers, start, maxc, n_points, step_m):
     # searchsorted + gathers: gathers serialize badly on TPU under vmap,
     # while these (N, N_SEG) contractions fuse on the VPU
     seg_idx = jnp.clip(
-        jnp.sum(cum[None, :] <= s[:, None], axis=1), 0, N_SEG - 1
+        jnp.sum(cum[None, :] <= s[:, None], axis=1), 0, n_seg - 1
     )
-    onehot = (seg_idx[:, None] == jnp.arange(N_SEG)[None, :]).astype(s.dtype)
+    onehot = (seg_idx[:, None] == jnp.arange(n_seg)[None, :]).astype(s.dtype)
     base = onehot @ seg_start_poses                    # (N, 3)
     l_seg = onehot @ lengths
     sig = onehot @ steers

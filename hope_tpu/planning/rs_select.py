@@ -205,20 +205,21 @@ def build_action_queue(path: RSPath, step_ratio: float, queue_len: int = 32):
         longer than the queue executes its first Q chunks and hands control
         back, rather than replaying the final slot off-plan.
     """
-    seg_steps = path.lengths / step_ratio              # (5,) signed chunk totals
+    n_seg = path.lengths.shape[0]     # 5 for RS words; larger for wiggle plans
+    seg_steps = path.lengths / step_ratio              # (S,) signed chunk totals
     mag = jnp.abs(seg_steps)
     sign = jnp.sign(seg_steps)
     n_full = jnp.floor(mag).astype(jnp.int32)
     rem = mag - n_full
     has_rem = rem > 1e-3
-    n_chunks = n_full + has_rem.astype(jnp.int32)      # (5,)
+    n_chunks = n_full + has_rem.astype(jnp.int32)      # (S,)
 
     cum = jnp.cumsum(n_chunks)
     starts = cum - n_chunks
     total = cum[-1]
 
     q = jnp.arange(queue_len)
-    seg_idx = jnp.clip(jnp.searchsorted(cum, q, side="right"), 0, 4)
+    seg_idx = jnp.clip(jnp.searchsorted(cum, q, side="right"), 0, n_seg - 1)
     within = q - starts[seg_idx]
     is_rem = within == n_full[seg_idx]                 # last chunk = remainder
     speed = jnp.where(is_rem, rem[seg_idx], 1.0) * sign[seg_idx]

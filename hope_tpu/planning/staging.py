@@ -75,26 +75,43 @@ N_STAGING = len(_RADII) * _N_ANGLES * _N_HEADINGS
 
 class StagingSet(NamedTuple):
     poses: jnp.ndarray    # (B, S, 3)
-    L: jnp.ndarray        # (B, S) RS completion length, +inf where invalid
-    lengths: jnp.ndarray  # (B, S, 5) completion segment lengths (signed, m)
-    steers: jnp.ndarray   # (B, S, 5) completion segment steers {-1, 0, 1}
+    L: jnp.ndarray        # (B, S) completion length, +inf where invalid
+    lengths: jnp.ndarray  # (B, S, K) completion segment lengths (signed, m)
+    steers: jnp.ndarray   # (B, S, K) completion segment steers {-1, 0, 1}
 
 
-def compute_staging(env, scenes, max_tries: int = 6) -> StagingSet:
-    """Validate every candidate's RS completion against the scene obstacles.
+# slow-maneuver penalty added to wiggle-template L so RS completions win the
+# candidate ranking wherever both validate (a wiggle plan is many cusps)
+_WIGGLE_PENALTY = 4.0
 
-    One batched RS search per candidate slot (scanned, so memory stays at the
-    per-candidate level); a candidate is valid iff a collision-free RS path
-    staging -> dest exists within ``max_tries`` shortest words.  The winning
-    completion's segment decomposition is kept so the MPC runner can execute
-    it verbatim after reaching the staging pose (two-segment latching).
+
+def compute_staging(env, scenes, max_tries: int = 6,
+                    parallel_templates: bool = True) -> StagingSet:
+    """Validate every candidate's completion against the scene obstacles.
+
+    Two candidate families share one StagingSet:
+      * the polar grid with single-RS-word completions — one batched RS search
+        per candidate slot (scanned, so memory stays at the per-candidate
+        level); valid iff a collision-free RS path staging -> dest exists
+        within ``max_tries`` shortest words;
+      * multi-cusp parallel-parking wiggle templates
+        (``parallel_park.build_templates``) — scene-independent arc plans in
+        the slot frame, each placed at the slot (mirrored to the scene's
+        aisle side) and swept against the actual obstacles.  These are what
+        close tight parallel slots, where the RS validity manifold collapses
+        to the parked pose itself (Extrem diagnosis, log/mpc_r5_extrem).
+
+    The winning completion's segment decomposition is kept (RS words padded
+    to the template segment count) so the MPC runner can execute it verbatim
+    after reaching the staging pose (two-segment latching).
     """
     cfg = env.cfg
+    maxc = cfg.vehicle.max_curvature
     cands = jax.vmap(staging_candidates)(scenes.dest)    # (B, S, 3)
 
     def body(_, s_pose):                                 # s_pose: (B, 3)
         rs = find_path_batch(
-            s_pose, scenes.dest, cfg.vehicle.max_curvature, env.corners,
+            s_pose, scenes.dest, maxc, env.corners,
             scenes.edges, scenes.edge_mask, scenes.bounds,
             n_points=cfg.rs_max_points, step_m=cfg.rs_step_size,
             max_tries=max_tries, use_pallas=env._pallas_mask,
@@ -105,9 +122,64 @@ def compute_staging(env, scenes, max_tries: int = 6) -> StagingSet:
         body, None, jnp.transpose(cands, (1, 0, 2)))     # leading dim S
     valid = valid.T                                      # (B, S)
     L = jnp.where(valid, L.T, jnp.inf)
-    return StagingSet(poses=cands, L=L,
-                      lengths=jnp.transpose(lengths, (1, 0, 2)),
-                      steers=jnp.transpose(steers, (1, 0, 2)))
+    lengths = jnp.transpose(lengths, (1, 0, 2))          # (B, S, 5)
+    steers = jnp.transpose(steers, (1, 0, 2))
+
+    if not parallel_templates:
+        return StagingSet(poses=cands, L=L, lengths=lengths, steers=steers)
+
+    from .parallel_park import N_WIGGLE_SEG, build_templates
+    from .rs_select import traj_collides
+    from . import reeds_shepp as rs_mod
+
+    tl, ts, tp = build_templates(maxc)                   # (T, K), (T, K), (T, 3)
+    T = tl.shape[0]
+    n_pts = cfg.rs_max_points
+
+    dest = scenes.dest
+    thd = dest[:, 2]
+    ax = jnp.stack([jnp.cos(thd), jnp.sin(thd)], -1)     # (B, 2) slot axis
+    nx = jnp.stack([-jnp.sin(thd), jnp.cos(thd)], -1)    # (B, 2) slot normal
+    # aisle side: the episode start pose is in the aisle by construction
+    ysign = jnp.where(
+        jnp.sum((scenes.start[:, :2] - dest[:, :2]) * nx, -1) >= 0, 1.0, -1.0)
+
+    def tbody(_, t):
+        t_len, t_steer, t_start = t                      # (K,), (K,), (3,)
+        # mirror to the aisle side: (x, y, th) -> (x, -y, -th), steers flip
+        w_pose = jnp.concatenate(
+            [dest[:, :2] + t_start[0] * ax + (ysign * t_start[1])[:, None] * nx,
+             (thd + ysign * t_start[2])[:, None]], axis=1)   # (B, 3)
+        w_steer = t_steer[None, :] * ysign[:, None]          # (B, K)
+        w_len = jnp.broadcast_to(t_len[None, :], w_steer.shape)
+
+        def sweep(pose, ln, st, e, em, b):
+            poses, mask, _ = rs_mod.sample_path(
+                ln * maxc, st, pose, maxc, n_pts, cfg.rs_step_size)
+            return traj_collides(poses, mask, env.corners, e, em, b)
+
+        collide = jax.vmap(sweep)(w_pose, w_len, w_steer, scenes.edges,
+                                  scenes.edge_mask, scenes.bounds)
+        return None, (w_pose, ~collide, w_len, w_steer)
+
+    _, (tw_pose, tw_valid, tw_len, tw_steer) = jax.lax.scan(
+        tbody, None,
+        (jnp.asarray(tl), jnp.asarray(ts), jnp.asarray(tp)))  # leading dim T
+    tw_pose = jnp.transpose(tw_pose, (1, 0, 2))          # (B, T, 3)
+    tw_valid = tw_valid.T                                # (B, T)
+    tw_len = jnp.transpose(tw_len, (1, 0, 2))            # (B, T, K)
+    tw_steer = jnp.transpose(tw_steer, (1, 0, 2))
+    tw_L = jnp.where(tw_valid,
+                     jnp.sum(jnp.abs(tw_len), -1) + _WIGGLE_PENALTY, jnp.inf)
+
+    K = N_WIGGLE_SEG
+    pad = ((0, 0), (0, 0), (0, K - lengths.shape[-1]))
+    return StagingSet(
+        poses=jnp.concatenate([cands, tw_pose], axis=1),
+        L=jnp.concatenate([L, tw_L], axis=1),
+        lengths=jnp.concatenate([jnp.pad(lengths, pad), tw_len], axis=1),
+        steers=jnp.concatenate([jnp.pad(steers, pad), tw_steer], axis=1),
+    )
 
 
 def concat_queues(q1, n1, q2, n2, queue_len: int):

@@ -63,12 +63,13 @@ def test_staging_open_scene_validates_and_picks():
     assert cands.shape == (N_STAGING, 3)
 
     st = compute_staging(env, scenes, max_tries=4)
-    assert st.poses.shape == (2, N_STAGING, 3)
-    L = np.asarray(st.L)
+    # polar candidates first, parallel-parking wiggle templates appended
+    assert st.poses.shape[0] == 2 and st.poses.shape[1] >= N_STAGING
+    L = np.asarray(st.L)[:, :N_STAGING]
     # open room: many candidates have a valid RS completion
     assert (np.isfinite(L).sum(axis=1) >= 4).all()
     # valid completions are at least as long as the straight-line gap
-    d = np.linalg.norm(np.asarray(st.poses)[..., :2]
+    d = np.linalg.norm(np.asarray(st.poses)[:, :N_STAGING, :2]
                        - np.asarray(scenes.dest)[:, None, :2], axis=-1)
     ok = np.isfinite(L)
     assert (L[ok] >= d[ok] - 1e-3).all()
@@ -76,9 +77,10 @@ def test_staging_open_scene_validates_and_picks():
     pose = jnp.tile(jnp.asarray([[-6.0, 0.0, 0.0]]), (2, 1))
     goal, has = pick_goal(st, pose, scenes.dest)
     assert bool(jnp.all(has))
-    # the chosen goal is a staging pose, not the slot itself
+    # the chosen goal is a staging pose, not the slot itself (nearest grid
+    # radius is 1.0 m)
     assert float(jnp.max(jnp.linalg.norm(goal[:, :2] - scenes.dest[:, :2],
-                                         axis=-1))) > 1.0
+                                         axis=-1))) >= 0.99
 
 
 def test_staging_blocked_scene_falls_back_to_dest():
@@ -174,3 +176,68 @@ def test_waypoint_latch_two_segment_plan_reaches_dest():
     dest = np.asarray(scenes.dest)
     close = np.hypot(fx - dest[:, 0], fy - dest[:, 1]) < 0.3
     assert (arrived | close).all(), (arrived, fx, fy, dest)
+
+
+def test_wiggle_templates_close_at_dest():
+    """Every parallel-parking template's entry plan, sampled with the shared
+    discretizer, ends exactly at the slot-frame origin (the dest pose)."""
+    from hope_tpu.config import VehicleConfig
+    from hope_tpu.planning import reeds_shepp as rs_mod
+    from hope_tpu.planning.parallel_park import build_templates
+
+    maxc = VehicleConfig().max_curvature
+    tl, ts, tp = build_templates(maxc)
+    assert tl.shape[0] >= 100
+    for t in range(0, tl.shape[0], 7):
+        poses, mask, _ = rs_mod.sample_path(
+            jnp.asarray(tl[t]) * maxc, jnp.asarray(ts[t]), jnp.asarray(tp[t]),
+            maxc, 500, 0.05)
+        n = int(np.asarray(mask).sum())
+        assert np.abs(np.asarray(poses)[n - 1]).max() < 1e-4
+
+
+def test_wiggle_execution_arrives_on_extrem():
+    """On tight parallel (Extrem) scenes, a validated wiggle candidate's
+    queue, executed open-loop in the real env from its staging pose, must
+    ARRIVE (95% slot overlap) without collision — template validity is a
+    swept-check of exactly the executed trajectory."""
+    from hope_tpu.envs.rewards import ARRIVED
+    from hope_tpu.envs.scenario_gen import generate_bank
+    from hope_tpu.planning.rs_select import RSPath, build_action_queue
+    from hope_tpu.planning.staging import N_STAGING, compute_staging
+
+    env = ParkingEnv(EnvConfig(obs=ObsConfig(use_img=False,
+                                             use_action_mask=False,
+                                             mask_backend="xla"),
+                               max_edges=96, max_obstacles=32))
+    scenes, _ = generate_bank(jax.random.PRNGKey(0), level="Extrem", n=4)
+    st = compute_staging(env, scenes, max_tries=4)
+    val = np.isfinite(np.asarray(st.L))
+    checked = 0
+    for b in range(4):
+        wi = np.nonzero(val[b, N_STAGING:])[0]
+        if not len(wi):
+            continue
+        s_idx = N_STAGING + int(wi[0])
+        scene_b = jax.tree.map(lambda x: x[b], scenes)
+        state = env._init_state(scene_b)
+        state = state.replace(
+            vehicle=state.vehicle.__class__.from_pose(st.poses[b, s_idx]))
+        path = RSPath(found=jnp.asarray(True),
+                      lengths=st.lengths[b, s_idx],
+                      steers=st.steers[b, s_idx], L=st.L[b, s_idx])
+        q, n = build_action_queue(path, env.cfg.step_ratio, 64)
+        arrived = False
+        for i in range(int(n)):
+            act = q[i] * jnp.asarray([env.cfg.vehicle.max_steer,
+                                      env.cfg.vehicle.max_speed])
+            state, r, done, info = env._transition(state, act,
+                                                   search_rs=False)
+            if int(state.status) == ARRIVED:
+                arrived = True
+                break
+            if bool(done):
+                break
+        assert arrived, (b, int(state.status))
+        checked += 1
+    assert checked >= 1
