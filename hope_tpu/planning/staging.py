@@ -35,14 +35,15 @@ from .rs_select import find_path_batch
 # trained RL policy finds it by fiddling — eval shows latching from scattered
 # poses), so a sparse hand-picked set misses it on ~half the scenes; a dense
 # grid recovers it at linear precompute cost (one batched RS search per
-# candidate, scanned).  Round-5 densification: the round-4 grid (radii from
-# 2 m, 8 headings at 45 deg) left 82% of EXTREM scenes with zero valid
-# candidates (log/mpc_r5_extrem) — tight-clearance slots only admit short
-# completions from close, near-aligned poses, so radii now start at 1 m and
-# headings step 30 deg.
-_RADII = (1.0, 1.5, 2.0, 3.0, 4.5, 6.0, 8.0)
+# candidate, scanned).  Round 5 kept the round-4 grid after two measured
+# negatives: densifying (radii from 1 m, 30 deg headings) did NOT lift
+# Extrem coverage (82% of those scenes admit no single-RS completion from
+# ANY pose — the wiggle templates below are the actual fix) and the changed
+# candidate ordering cost 2/256 DLP cases (1.000 -> 0.992,
+# log/mpc_r5w_dlp_p30 vs log/mpc_r5_portfolio).
+_RADII = (2.0, 3.0, 4.5, 6.0, 8.0)
 _N_ANGLES = 8
-_N_HEADINGS = 12
+_N_HEADINGS = 8
 
 
 def staging_candidates(dest,
@@ -80,9 +81,14 @@ class StagingSet(NamedTuple):
     steers: jnp.ndarray   # (B, S, K) completion segment steers {-1, 0, 1}
 
 
-# slow-maneuver penalty added to wiggle-template L so RS completions win the
-# candidate ranking wherever both validate (a wiggle plan is many cusps)
-_WIGGLE_PENALTY = 4.0
+# slow-maneuver penalty added to wiggle-template L: large enough that a
+# wiggle candidate ranks below EVERY valid single-RS completion (soft
+# fallback — wiggles engage only once the polar candidates are exhausted).
+# A +4 penalty let wiggle plans preempt workable RS plans on 2/256 DLP
+# scenes (1.000 -> 0.992, log/mpc_r5w_dlp); valid polar completions are
+# always < 20 m, so +30 strictly orders the families while keeping wiggles
+# inside the replan candidate window (invalid candidates stay at +inf).
+_WIGGLE_PENALTY = 30.0
 
 
 def compute_staging(env, scenes, max_tries: int = 6,
