@@ -36,7 +36,7 @@ import math
 
 import numpy as np
 
-N_WIGGLE_SEG = 24          # fixed segment slots per template (zero-padded)
+N_WIGGLE_SEG = 40          # fixed segment slots per template (zero-padded)
 
 
 def _arc(x, y, th, sigma, length):
@@ -101,6 +101,50 @@ def _exit_template(margin_n, phi_cap, th_exit, aisle_y_n, back_to_n=None,
     return segs, (x, y, th)
 
 
+def _exit_template_arcstraight(margin_n, phi_cap, th_exit, aisle_y_n,
+                               back_to_n=None, max_pairs=16):
+    """Second wiggle family: (forward-left arc, reverse-STRAIGHT) pairs.
+
+    The first family's reverse-right arcs rotate the car while backing up,
+    swinging the rear corner toward the curb — the binding constraint on the
+    narrowest slots.  Here heading only grows on forward arcs and the reverse
+    legs are straight (no rotation), trading ~2x the cusps for zero
+    rear-swing.  Same return contract as :func:`_exit_template`."""
+    segs = []
+    x = y = th = 0.0
+    for _ in range(max_pairs):
+        if th >= th_exit:
+            break
+        room = math.sin(th) + max(0.0, margin_n - x)
+        phi = max(0.0, math.asin(min(1.0, room)) - th)
+        phi = min(phi, phi_cap, th_exit - th)
+        if phi > 1e-4:
+            x, y, th = _arc(x, y, th, +1.0, phi)
+            segs.append((phi, +1.0))
+        if th >= th_exit:
+            break
+        d = max(0.0, (x + margin_n) / max(math.cos(th), 0.3))
+        if d <= 1e-4:
+            if not segs:
+                return None
+            break
+        x, y, th = _arc(x, y, th, 0.0, -d)
+        segs.append((-d, 0.0))
+    if th < th_exit - 1e-3:
+        return None
+    while y + (1.0 - math.cos(th)) < aisle_y_n and th < 1.25:
+        phi = min(0.15, 1.25 - th)
+        x, y, th = _arc(x, y, th, +1.0, phi)
+        segs.append((phi, +1.0))
+    th_pre = th
+    x, y, th = _arc(x, y, th, -1.0, th_pre)
+    segs.append((th_pre, -1.0))
+    if back_to_n is not None and x > back_to_n:
+        segs.append((-(x - back_to_n), 0.0))
+        x = back_to_n
+    return segs, (x, y, th)
+
+
 def build_templates(maxc: float,
                     margins_m=(0.15, 0.22, 0.32, 0.45),
                     phi_caps=(0.06, 0.10, 0.16, 0.26),
@@ -124,8 +168,9 @@ def build_templates(maxc: float,
             for te in th_exits:
                 for ay in aisle_y_m:
                   for bk in back_to_m:
-                    t = _exit_template(m * maxc, cap, te, ay * maxc,
-                                       None if bk is None else bk * maxc)
+                   for fam in (_exit_template, _exit_template_arcstraight):
+                    t = fam(m * maxc, cap, te, ay * maxc,
+                            None if bk is None else bk * maxc)
                     if t is None:
                         continue
                     segs, end = t
