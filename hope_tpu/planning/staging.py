@@ -138,7 +138,9 @@ def compute_staging(env, scenes, max_tries: int = 6,
     from .rs_select import traj_collides
     from . import reeds_shepp as rs_mod
 
-    tl, ts, tp = build_templates(maxc)                   # (T, K), (T, K), (T, 3)
+    v = cfg.vehicle
+    tl, ts, tp = build_templates(
+        maxc, dims=(v.rear_hang, v.front_hang + v.wheel_base, v.width / 2))
     T = tl.shape[0]
     n_pts = cfg.rs_max_points
 

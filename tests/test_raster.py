@@ -197,3 +197,51 @@ def test_env_raster_edge_budget_identical_obs():
         _, obs = env.batch_reset(scenes)
         imgs[budget] = np.asarray(obs["img"])
     np.testing.assert_array_equal(imgs[0], imgs[96])
+
+
+def test_prefilter_polys_keeps_enclosing_ring():
+    """A polygon that ENCLOSES the image while every edge sits beyond the
+    filter radius (a huge boundary ring passed as an obstacle) must be
+    force-kept: the even-crossings parity argument only covers polygons the
+    ray both enters AND exits, so dropping it would flip inside-parity for
+    every pixel (ADVICE r4).  The bbox-contains-center guard sorts it first
+    (distance -1), ahead of genuinely near polygons."""
+    from hope_tpu.geometry.raster import prefilter_polys, render_bev_exact
+
+    def _square(cx, cy, h):
+        c = [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+             (cx - h, cy + h)]
+        return [[*c[i], *c[(i + 1) % 4]] for i in range(4)]
+
+    # poly 0: ring enclosing everything, all edges ~50 m out (radius ~16 m)
+    # poly 1: small obstacle near the car   poly 2: small obstacle 40 m away
+    edges = jnp.asarray(_square(0, 0, 50.0) + _square(4.0, 3.0, 1.0)
+                        + _square(40.0, 0.0, 1.0), jnp.float32)
+    edges = jnp.concatenate([edges, jnp.zeros((4, 4))], axis=0)   # padding
+    mask = jnp.asarray([True] * 12 + [False] * 4)
+    poly = jnp.asarray([0] * 4 + [1] * 4 + [2] * 4 + [63] * 4)
+
+    pose = jnp.asarray([0.0, 0.0, 0.0])
+    vb = pose_to_box(pose, jnp.asarray(VCFG.box_corners()))
+    dest_box = pose_to_box(jnp.asarray([5.0, 8.0, 0.0]),
+                           jnp.asarray(VCFG.box_corners()))
+    cx_off = (VCFG.front_hang + VCFG.wheel_base - VCFG.rear_hang) / 2.0
+    center = jnp.asarray([cx_off, 0.0])
+    radius = OBS.img_size * OBS.img_res * np.sqrt(2) / 2 + 1.0
+
+    fe, fm, fp = prefilter_polys(center, edges, mask, poly, budget=8,
+                                 radius=radius)
+    # ring (4, force-kept) + near square (4) fit the budget; far square drops
+    assert int(np.asarray(fm).sum()) == 8
+    full = np.asarray(render_bev_exact(pose, vb, dest_box, edges, mask, poly,
+                                       OBS, VCFG))
+    pre = np.asarray(render_bev_exact(pose, vb, dest_box, fe, fm, fp,
+                                      OBS, VCFG))
+    np.testing.assert_array_equal(full, pre)
+    # sanity: the ring really does color every non-car/dest pixel — dropping
+    # it would NOT be equivalent (guard is load-bearing, not vacuous)
+    fe2 = jnp.where((poly == 0)[:, None], 0.0, edges)
+    m2 = mask & (poly != 0)
+    without = np.asarray(render_bev_exact(pose, vb, dest_box, fe2, m2, poly,
+                                          OBS, VCFG))
+    assert (without != full).any()
